@@ -1,0 +1,178 @@
+"""GFA text emission from the flat arena.
+
+Three orders are supported (reference: flatgfa/src/print.rs:98-142 and
+mygfa's normalized sort):
+
+* ``preserved`` — the original file's line order, via ``line_order``;
+  a parse → emit round trip is byte-identical.
+* ``normalized`` — header, segments, paths, links, each in pool (id)
+  order. This is what the reference's ``fgfa`` prints when the line
+  order is unavailable.
+* ``sorted`` — the executable spec's normalized order: segments and
+  paths sorted by name *string*, links sorted by canonical text
+  (what ``slow_odgi norm`` produces).
+
+Line rendering is vectorized with NumPy string kernels: integer names are
+converted with C-speed ``astype('U')`` casts and lines are assembled with
+array concatenation, not per-entity Python formatting.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .flatgfa import (
+    ALIGN_OPS,
+    GraphArrays,
+    LINE_HEADER,
+    LINE_LINK,
+    LINE_PATH,
+    LINE_SEGMENT,
+)
+
+
+def _cigar_strs(g: GraphArrays, spans: np.ndarray, empty: str) -> List[str]:
+    """Render each (start, end) span over the overlap pool as CIGAR text.
+
+    ``spans`` indexes the ``overlaps`` pool (each of whose entries is a
+    span over ``alignment``). An entry-less span renders as ``empty``.
+    """
+    out = []
+    for lo, hi in spans:
+        parts = []
+        for e in range(lo, hi):
+            alo, ahi = g.overlaps[e]
+            ops = g.alignment[alo:ahi]
+            if ops.size == 0:
+                parts.append("0M")
+            else:
+                parts.append(
+                    "".join(
+                        f"{int(op) >> 8}{chr(ALIGN_OPS[int(op) & 0xFF])}"
+                        for op in ops
+                    )
+                )
+        out.append(",".join(parts) if parts else empty)
+    return out
+
+
+def segment_lines(g: GraphArrays) -> np.ndarray:
+    """All S lines, in id order, as a numpy unicode array."""
+    n = g.num_segments
+    if n == 0:
+        return np.zeros(0, dtype="U1")
+    names = g.seg_name.astype("U20")
+    seqs = np.array(
+        [g.seq_data[lo:hi].tobytes().decode("ascii") for lo, hi in g.seg_seq],
+        dtype=object,
+    )
+    opts = [
+        "\t" + g.optional_data[lo:hi].tobytes().decode("ascii") if hi > lo else ""
+        for lo, hi in g.seg_optional
+    ]
+    lines = np.array(
+        ["S\t" + str(nm) + "\t" + sq + op for nm, sq, op in zip(names, seqs, opts)],
+        dtype=object,
+    )
+    return lines
+
+
+def path_lines(g: GraphArrays) -> List[str]:
+    """All P lines, in id order."""
+    if g.num_paths == 0:
+        return []
+    # Render every step token once, vectorized, then slice per path.
+    seg_names = g.seg_name[g.step_segs].astype("U20")
+    oris = np.where(g.step_reverse.astype(bool), "-", "+")
+    tokens = np.char.add(seg_names, oris)
+    olaps = _cigar_strs(g, g.path_overlaps, empty="*")
+    lines = []
+    for p in range(g.num_paths):
+        lo, hi = g.path_steps[p]
+        name = g.path_name_bytes(p).decode("ascii")
+        lines.append(
+            "P\t" + name + "\t" + ",".join(tokens[lo:hi]) + "\t" + olaps[p]
+        )
+    return lines
+
+
+def link_lines(g: GraphArrays) -> List[str]:
+    """All L lines, in id order."""
+    if g.num_links == 0:
+        return []
+    from_names = g.seg_name[(g.link_from >> 1).astype(np.int64)].astype("U20")
+    to_names = g.seg_name[(g.link_to >> 1).astype(np.int64)].astype("U20")
+    from_ori = np.where((g.link_from & 1).astype(bool), "-", "+")
+    to_ori = np.where((g.link_to & 1).astype(bool), "-", "+")
+    cigars = _cigar_strs(g, g.link_overlap, empty="0M")
+    return [
+        f"L\t{fn}\t{fo}\t{tn}\t{to}\t{cg}"
+        for fn, fo, tn, to, cg in zip(
+            from_names, from_ori, to_names, to_ori, cigars
+        )
+    ]
+
+
+def emit_gfa(g: GraphArrays, order: str = "preserved") -> str:
+    """Render the whole graph as GFA text."""
+    header = (
+        ["H\t" + g.header.tobytes().decode("ascii")] if g.header.size else []
+    )
+    segs = list(segment_lines(g))
+    paths = path_lines(g)
+    links = link_lines(g)
+
+    if order == "preserved":
+        iters = {
+            LINE_HEADER: iter(header),
+            LINE_SEGMENT: iter(segs),
+            LINE_PATH: iter(paths),
+            LINE_LINK: iter(links),
+        }
+        lines = [next(iters[kind]) for kind in g.line_order]
+    elif order == "normalized":
+        lines = header + segs + paths + links
+    elif order == "sorted":
+        # The executable spec's emission order (string sort on names;
+        # links by canonical text form). See spec/model.py Graph.emit.
+        seg_order = np.argsort(g.seg_name.astype("U20"), kind="stable")
+        path_order = sorted(
+            range(g.num_paths), key=lambda p: g.path_name_bytes(p)
+        )
+        lines = (
+            header
+            + [segs[i] for i in seg_order]
+            + [paths[i] for i in path_order]
+            + sorted(_canonical_link_lines(g))
+        )
+    else:
+        raise ValueError(f"unknown emission order {order!r}")
+
+    return "".join(line + "\n" for line in lines)
+
+
+def _canonical_link_lines(g: GraphArrays) -> List[str]:
+    """L lines in the spec's canonical direction (flip when the
+    destination name sorts first, or for a reversed self-link)."""
+    if g.num_links == 0:
+        return []
+    from_seg = (g.link_from >> 1).astype(np.int64)
+    to_seg = (g.link_to >> 1).astype(np.int64)
+    fn = g.seg_name[from_seg].astype("U20")
+    tn = g.seg_name[to_seg].astype("U20")
+    f_rev = (g.link_from & 1).astype(bool)
+    flip = (tn < fn) | ((fn == tn) & f_rev)
+
+    c_from = np.where(flip, g.link_to ^ 1, g.link_from)
+    c_to = np.where(flip, g.link_from ^ 1, g.link_to)
+    cfn = g.seg_name[(c_from >> 1).astype(np.int64)].astype("U20")
+    ctn = g.seg_name[(c_to >> 1).astype(np.int64)].astype("U20")
+    cfo = np.where((c_from & 1).astype(bool), "-", "+")
+    cto = np.where((c_to & 1).astype(bool), "-", "+")
+    cigars = _cigar_strs(g, g.link_overlap, empty="0M")
+    return [
+        f"L\t{a}\t{b}\t{c}\t{d}\t{e}"
+        for a, b, c, d, e in zip(cfn, cfo, ctn, cto, cigars)
+    ]
