@@ -1,0 +1,172 @@
+"""Flagship benchmark: masked depth (+ unique depth) steps/s.
+
+Times the subset-paths segment-depth query (odgi ``depth -d -s``
+semantics): given a path mask that changes per query, stream the
+(segment, path)-sorted step list and produce per-segment depth and
+distinct-path counts. This is the honest S-scale kernel — the all-paths
+variant is answered from the ingest-time index in O(N).
+
+Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+``vs_baseline``: achieved HBM traffic (24 B/step model: read sorted path
+ids + group starts, write two cumsums) as a fraction of the device's
+*measured* streaming roofline (timed in the same harness with an
+elementwise chain). The reference publishes no absolute numbers
+(SURVEY.md §6); the driver-set target is "segment-sum loop at HBM
+speed-of-light", and roofline fraction is the faithful proxy — this
+environment's TPU tunnel runs far below hardware spec, so peak-BW
+fractions would measure the tunnel, not the kernel.
+
+Timing notes: each measurement chains K kernel iterations inside one jit
+with a true data dependency between iterations (the mask is derived from
+the previous output), defeating both dispatch-latency artifacts (~30 ms
+per call through the tunnel) and XLA folding of unused results.
+
+Env knobs: POLLEN_BENCH_STEPS (default 2**24), POLLEN_BENCH_SEGS,
+POLLEN_BENCH_PATHS, POLLEN_BENCH_REPS, POLLEN_BENCH_CHAIN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BYTES_PER_STEP = 24.0
+CALL_OVERHEAD_S = 0.030  # measured fixed dispatch latency per jit call
+
+
+def synth_device_graph(n_steps: int, n_segs: int, n_paths: int):
+    """Build a DeviceGraph directly from synthetic arrays (no GFA text)."""
+    from pollen_tpu.device import build_device_graph
+    from pollen_tpu.flatgfa import GraphArrays
+
+    rng = np.random.default_rng(8)
+    # Zipf-ish segment popularity, like real pangenomes.
+    pop = rng.zipf(1.3, size=n_steps).astype(np.int64)
+    segs = (pop - 1) % n_segs
+    rev = rng.random(n_steps) < 0.1
+    steps = (segs.astype(np.uint32) << np.uint32(1)) | rev.astype(np.uint32)
+
+    bounds = np.linspace(0, n_steps, n_paths + 1).astype(np.uint32)
+    path_steps = np.stack([bounds[:-1], bounds[1:]], axis=1)
+
+    seg_lens = rng.integers(1, 32, size=n_segs).astype(np.uint32)
+    seq_bounds = np.concatenate(([0], np.cumsum(seg_lens))).astype(np.uint32)
+    seg_seq = np.stack([seq_bounds[:-1], seq_bounds[1:]], axis=1)
+
+    g = GraphArrays(
+        header=np.zeros(0, np.uint8),
+        seg_name=np.arange(1, n_segs + 1, dtype=np.int64),
+        seg_seq=seg_seq,
+        seg_optional=np.zeros((n_segs, 2), np.uint32),
+        path_name=np.zeros((n_paths, 2), np.uint32),
+        path_steps=path_steps,
+        path_overlaps=np.zeros((n_paths, 2), np.uint32),
+        link_from=np.zeros(0, np.uint32),
+        link_to=np.zeros(0, np.uint32),
+        link_overlap=np.zeros((0, 2), np.uint32),
+        steps=steps,
+        seq_data=np.zeros(int(seq_bounds[-1]), np.uint8),
+        overlaps=np.zeros((0, 2), np.uint32),
+        alignment=np.zeros(0, np.uint32),
+        name_data=np.zeros(0, np.uint8),
+        optional_data=np.zeros(0, np.uint8),
+        line_order=np.zeros(0, np.uint8),
+    )
+    return g, build_device_graph(g, minimal=True)
+
+
+def _time_chain(jitted, args, reps: int, chain: int) -> float:
+    """Best per-iteration wall time of a K-chained jitted function."""
+    import jax
+
+    out = jitted(*args)
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+        times.append(time.perf_counter() - t0)
+    return max(min(times) - CALL_OVERHEAD_S, 1e-9) / chain
+
+
+def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
+    """Device streaming bandwidth (B/s): chained elementwise update."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones(n_steps, dtype=jnp.int32)
+
+    @jax.jit
+    def chained(x):
+        return jax.lax.fori_loop(0, chain, lambda i, x: x * 3 + 1, x)
+
+    per_iter = _time_chain(chained, (x,), reps, chain)
+    return n_steps * 8 / per_iter  # 4B read + 4B write per element
+
+
+def measure_depth(dg, reps: int, chain: int) -> float:
+    """Best per-query time for the masked depth+uniq kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from pollen_tpu.device import bounded_segment_sum, first_in_group_mask
+
+    p = dg.num_paths
+
+    @jax.jit
+    def chained(dg, mask):
+        def body(i, carry):
+            mask, acc = carry
+            w = mask[dg.step_path_sorted]
+            depth = bounded_segment_sum(w, dg.seg_bounds)
+            first = first_in_group_mask(w, dg.run_start)
+            uniq = bounded_segment_sum(first, dg.seg_bounds)
+            # True dependency: next mask derives from this output.
+            mask = jnp.roll(mask, 1).at[0].set(depth[0] % 2)
+            return mask, acc + depth[-1] + uniq[-1]
+
+        _, acc = jax.lax.fori_loop(
+            0, chain, body, (mask, jnp.int32(0))
+        )
+        return acc
+
+    mask = jnp.ones(p, dtype=jnp.int32)
+    return _time_chain(chained, (dg, mask), reps, chain)
+
+
+def main() -> None:
+    n_steps = int(os.environ.get("POLLEN_BENCH_STEPS", 2**22))
+    n_segs = int(os.environ.get("POLLEN_BENCH_SEGS", 2**18))
+    n_paths = int(os.environ.get("POLLEN_BENCH_PATHS", 128))
+    reps = int(os.environ.get("POLLEN_BENCH_REPS", 3))
+    chain = int(os.environ.get("POLLEN_BENCH_CHAIN", 8))
+
+    _, dg = synth_device_graph(n_steps, n_segs, n_paths)
+
+    roofline = measure_stream_roofline(n_steps, reps, chain)
+    per_query = measure_depth(dg, reps, chain)
+    steps_per_s = n_steps / per_query
+    achieved_bytes = steps_per_s * BYTES_PER_STEP
+    vs_baseline = achieved_bytes / roofline
+
+    print(
+        json.dumps(
+            {
+                "metric": "masked_depth_steps_per_s",
+                "value": round(steps_per_s),
+                "unit": "steps/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Device-resident graph tensors and ingest-time precomputation.
+
+The TPU-native execution model: at ingest we move the arena's hot pools
+into HBM **plus a sort-based index** that turns every histogram-style
+query (depth, degree, matrix, ...) into dense, coalesced work:
+
+* ``perm`` — a permutation of step indices sorted by (segment, path).
+* ``seg_bounds`` — where each segment's run begins/ends in that order.
+* ``run_start`` — for each sorted position, the position where its
+  (segment, path) group begins.
+
+With these, a masked segment-sum is gather → cumsum → two boundary
+gathers: all HBM-bandwidth-bound streaming ops with *no scatter* and no
+data-dependent control flow — exactly what XLA/TPU wants (the reference
+instead walks path spans and increments counters in place; reference:
+flatgfa/src/ops/depth.rs:15-39). The sort is paid once per graph load
+and amortized over every query.
+
+``DeviceGraph`` is a registered pytree so it can flow through ``jit``
+and ``shard_map`` unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+
+# Exact integer accumulation (bp-weighted path sums) needs int64 on
+# device; all hot-path arrays still use explicit 32-bit dtypes.
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from .flatgfa import GraphArrays
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "steps",
+        "step_path",
+        "path_bounds",
+        "seg_len",
+        "link_from",
+        "link_to",
+        "perm",
+        "step_path_sorted",
+        "seg_bounds",
+        "run_start",
+        "link_seg_bounds",
+        "link_seg_weights",
+    ],
+    meta_fields=["num_segments", "num_paths"],
+)
+@dataclasses.dataclass
+class DeviceGraph:
+    """The queryable graph, resident in device memory."""
+
+    # Natural (path) order.
+    steps: jax.Array  # uint32[S] packed handles
+    step_path: jax.Array  # int32[S] owning path per step
+    path_bounds: jax.Array  # int32[P+1] step-span boundaries per path
+    seg_len: jax.Array  # int32[N] bp length per segment
+    link_from: jax.Array  # uint32[L]
+    link_to: jax.Array  # uint32[L]
+
+    # (segment, path)-sorted index.
+    perm: jax.Array  # int32[S] step index at each sorted position
+    step_path_sorted: jax.Array  # int32[S]
+    seg_bounds: jax.Array  # int32[N+1]
+    run_start: jax.Array  # int32[S]
+
+    # Link-endpoint histogram index (for degree): endpoints sorted by seg.
+    link_seg_bounds: jax.Array  # int32[N+1]
+    link_seg_weights: jax.Array  # int32[2L] all-ones placeholder weights
+
+    num_segments: int
+    num_paths: int
+
+    @property
+    def num_steps(self) -> int:
+        return self.steps.shape[0]
+
+    @property
+    def num_links(self) -> int:
+        return self.link_from.shape[0]
+
+
+def build_device_graph(
+    g: GraphArrays, device=None, minimal: bool = False
+) -> DeviceGraph:
+    """Ingest an arena: precompute the sort index and ship tensors to HBM.
+
+    ``minimal=True`` ships only the sorted-index tensors used by the
+    depth kernels (benchmarks; avoids paying transfer cost for pools the
+    measured kernel never reads).
+    """
+    n, p, s = g.num_segments, g.num_paths, g.num_steps
+
+    step_seg = g.step_segs  # int32[S]
+    step_path = g.step_path_ids()
+
+    # Sort steps by (segment, path). np.lexsort: last key is primary.
+    perm = np.lexsort((step_path, step_seg)).astype(np.int32)
+    seg_sorted = step_seg[perm]
+    path_sorted = step_path[perm]
+
+    # Segment run boundaries in sorted order.
+    seg_bounds = np.searchsorted(
+        seg_sorted, np.arange(n + 1, dtype=np.int64)
+    ).astype(np.int32)
+
+    # (segment, path) group starts.
+    if s:
+        new_run = np.empty(s, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (seg_sorted[1:] != seg_sorted[:-1]) | (
+            path_sorted[1:] != path_sorted[:-1]
+        )
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run).astype(np.int32)
+        run_start = starts[run_idx]
+    else:
+        run_start = np.zeros(0, dtype=np.int32)
+
+    # Path step-span boundaries (step spans are contiguous in path order).
+    path_bounds = np.concatenate(
+        ([0], np.cumsum(g.path_steps[:, 1] - g.path_steps[:, 0]))
+    ).astype(np.int32)
+
+    # Degree index: both link endpoints, histogrammed by segment.
+    endpoints = np.concatenate(
+        [(g.link_from >> 1).astype(np.int64), (g.link_to >> 1).astype(np.int64)]
+    )
+    endpoints.sort()
+    link_seg_bounds = np.searchsorted(
+        endpoints, np.arange(n + 1, dtype=np.int64)
+    ).astype(np.int32)
+
+    put = partial(jax.device_put, device=device)
+    empty32 = jnp.zeros(0, dtype=jnp.int32)
+    return DeviceGraph(
+        steps=put(jnp.asarray(g.steps, dtype=jnp.uint32))
+        if not minimal
+        else empty32.astype(jnp.uint32),
+        step_path=put(jnp.asarray(step_path)) if not minimal else empty32,
+        path_bounds=put(jnp.asarray(path_bounds)),
+        seg_len=put(jnp.asarray(g.seg_len, dtype=jnp.int32))
+        if not minimal
+        else empty32,
+        link_from=put(jnp.asarray(g.link_from, dtype=jnp.uint32)),
+        link_to=put(jnp.asarray(g.link_to, dtype=jnp.uint32)),
+        perm=put(jnp.asarray(perm)) if not minimal else empty32,
+        step_path_sorted=put(jnp.asarray(path_sorted)),
+        seg_bounds=put(jnp.asarray(seg_bounds)),
+        run_start=put(jnp.asarray(run_start)),
+        link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
+        link_seg_weights=put(
+            jnp.ones(endpoints.shape[0], dtype=jnp.int32)
+        ),
+        num_segments=n,
+        num_paths=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core segmented reductions (all dense; no scatter)
+# ---------------------------------------------------------------------------
+
+
+def bounded_segment_sum(
+    weights: jax.Array, bounds: jax.Array
+) -> jax.Array:
+    """Sum ``weights`` within each [bounds[i], bounds[i+1]) range.
+
+    ``weights`` must already be ordered so ranges are contiguous. One
+    cumsum + two gathers: bandwidth-bound, scatter-free.
+    """
+    csum = jnp.cumsum(weights)
+    padded = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+    return padded[bounds[1:]] - padded[bounds[:-1]]
+
+
+def first_in_group_mask(
+    weights: jax.Array, run_start: jax.Array
+) -> jax.Array:
+    """1 where a nonzero weight is the first nonzero in its group.
+
+    Groups are contiguous runs whose start positions are ``run_start``.
+    Used for distinct-count reductions (depth.uniq): counting first
+    occurrences per (segment, path) group counts distinct paths.
+    """
+    w = (weights != 0).astype(jnp.int32)
+    csum = jnp.cumsum(w)
+    excl = csum - w  # exclusive cumsum
+    within = csum - excl[run_start]  # inclusive count within the group
+    return w * (within == 1).astype(jnp.int32)

@@ -1,0 +1,140 @@
+"""Depth queries: per-segment crossing counts and per-path mean depth.
+
+The flagship analysis (reference semantics: flatgfa/src/ops/depth.rs,
+slow_odgi/depth.py). Device side, depth is a masked segment-sum over the
+(segment, path)-sorted step index; depth.uniq counts first-occurrences
+per (segment, path) group — both scatter-free (see pollen_tpu.device).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..device import (
+    DeviceGraph,
+    bounded_segment_sum,
+    first_in_group_mask,
+)
+from ..flatgfa import GraphArrays
+
+
+@jax.jit
+def seg_depth_with_uniq(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
+    """(depth, unique depth) per segment, over all paths."""
+    ones = jnp.ones(dg.num_steps, dtype=jnp.int32)
+    depth = bounded_segment_sum(ones, dg.seg_bounds)
+    # With all-ones weights, the first step of every (segment, path)
+    # group is exactly the group's start position.
+    pos = jnp.arange(dg.num_steps, dtype=jnp.int32)
+    first = (pos == dg.run_start).astype(jnp.int32)
+    uniq = bounded_segment_sum(first, dg.seg_bounds)
+    return depth, uniq
+
+
+@jax.jit
+def seg_depth_with_uniq_masked(
+    dg: DeviceGraph, path_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(depth, unique depth) per segment, counting only paths where
+    ``path_mask`` (bool[P]) is set."""
+    w = path_mask.astype(jnp.int32)[dg.step_path_sorted]
+    depth = bounded_segment_sum(w, dg.seg_bounds)
+    first = first_in_group_mask(w, dg.run_start)
+    uniq = bounded_segment_sum(first, dg.seg_bounds)
+    return depth, uniq
+
+
+@jax.jit
+def path_depth(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
+    """(bp length, bp-weighted depth sum) per path.
+
+    A path's mean depth is sum(seg_depth * seg_len over its steps)
+    divided by its bp length (reference: ops/depth.rs:88-131); the
+    division happens host-side in f64 for exact odgi float formatting.
+    """
+    ones = jnp.ones(dg.num_steps, dtype=jnp.int32)
+    seg_depth = bounded_segment_sum(ones, dg.seg_bounds)
+    step_seg = (dg.steps >> 1).astype(jnp.int32)
+    lens = dg.seg_len[step_seg].astype(jnp.int64)
+    weighted = seg_depth[step_seg].astype(jnp.int64) * lens
+    path_len = bounded_segment_sum(lens, dg.path_bounds)
+    path_sum = bounded_segment_sum(weighted, dg.path_bounds)
+    return path_len, path_sum
+
+
+# ---------------------------------------------------------------------------
+# Host-side emitters (odgi-compatible TSV)
+# ---------------------------------------------------------------------------
+
+
+def format_float(x: float, digits: int) -> str:
+    """odgi-style float: fixed digits, then strip trailing zeros/dot
+    (reference: ops/depth.rs:192-197)."""
+    return f"{x:.{digits}f}".rstrip("0").rstrip(".")
+
+
+def seg_depth_table(
+    g: GraphArrays, depths: np.ndarray, uniqs: np.ndarray
+) -> str:
+    names = g.seg_name.astype("U20")
+    body = [
+        f"{n}\t{d}\t{u}"
+        for n, d, u in zip(names, np.asarray(depths), np.asarray(uniqs))
+    ]
+    return "\n".join(["#node.id\tdepth\tdepth.uniq"] + body) + "\n"
+
+
+def path_depth_table(
+    g: GraphArrays,
+    lengths: np.ndarray,
+    sums: np.ndarray,
+    path_ids: Optional[Sequence[int]] = None,
+) -> str:
+    ids = range(g.num_paths) if path_ids is None else path_ids
+    lines = ["#path\tstart\tend\tmean.depth"]
+    for i in ids:
+        mean = float(sums[i]) / float(lengths[i])
+        lines.append(
+            f"{g.path_name_bytes(i).decode()}\t0\t{int(lengths[i])}\t"
+            f"{format_float(mean, 2)}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def path_mask_for(g: GraphArrays, subset: Sequence[str]) -> np.ndarray:
+    wanted = {s.encode() for s in subset}
+    return np.array(
+        [g.path_name_bytes(i) in wanted for i in range(g.num_paths)],
+        dtype=bool,
+    )
+
+
+def run_seg_depth(
+    g: GraphArrays,
+    dg: DeviceGraph,
+    subset_paths: Optional[List[str]] = None,
+) -> str:
+    """End-to-end segment depth query: device kernel + TSV rendering."""
+    if subset_paths is None:
+        depth, uniq = seg_depth_with_uniq(dg)
+    else:
+        mask = jnp.asarray(path_mask_for(g, subset_paths))
+        depth, uniq = seg_depth_with_uniq_masked(dg, mask)
+    return seg_depth_table(g, np.asarray(depth), np.asarray(uniq))
+
+
+def run_path_depth(
+    g: GraphArrays,
+    dg: DeviceGraph,
+    paths: Optional[List[str]] = None,
+) -> str:
+    lengths, sums = path_depth(dg)
+    ids = None
+    if paths is not None:
+        by_name = {g.path_name_bytes(i): i for i in range(g.num_paths)}
+        ids = [by_name[p.encode()] for p in paths if p.encode() in by_name]
+    return path_depth_table(g, np.asarray(lengths), np.asarray(sums), ids)

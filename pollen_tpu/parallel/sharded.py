@@ -1,0 +1,216 @@
+"""Sharded depth/degree: the step list split across a device mesh.
+
+Design (per BASELINE.json's north star): the (segment, path)-sorted step
+index is sharded into contiguous chunks over every device in a
+``Mesh(hosts, chips)``; segment-indexed tables (N-sized boundaries) are
+replicated; each device computes a partial histogram over its chunk with
+the same scatter-free cumsum trick as the single-chip path; partials
+merge with ``psum`` riding ICI.
+
+The subtle part is ``depth.uniq`` (distinct paths per segment): a
+(segment, path) group can straddle chunk boundaries, so "first masked
+step of the group" needs cross-chunk information. We use a decoupled
+lookback: every group is identified by its *global start position*; each
+device all-gathers one (tail-group id, tail-group masked count) pair and
+adds the carry from devices to its left before testing "am I first".
+One tiny all-gather + one psum per query — no scatter, no host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..device import DeviceGraph
+
+STEP_AXES = ("host", "chip")  # step chunks are sharded over both axes
+
+
+def make_mesh(
+    devices=None, hosts: Optional[int] = None
+) -> Mesh:
+    """A (host, chip) mesh over the given (or all) devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if hosts is None:
+        # Default: a single host row unless the device count factors.
+        hosts = 2 if n % 2 == 0 and n > 1 else 1
+    assert n % hosts == 0
+    arr = np.array(devices).reshape(hosts, n // hosts)
+    return Mesh(arr, STEP_AXES)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "step_path_sorted",
+        "run_start",
+        "seg_bounds",
+        "chunk_starts",
+    ],
+    meta_fields=["num_segments", "num_paths", "num_steps", "chunk"],
+)
+@dataclasses.dataclass
+class ShardedGraph:
+    """Step-sharded view of a graph for mesh execution.
+
+    ``step_path_sorted`` and ``run_start`` are padded to a multiple of
+    the device count and sharded by contiguous chunk; ``seg_bounds`` is
+    replicated. Padding uses a sentinel path id (= num_paths) whose mask
+    entry is always 0.
+    """
+
+    step_path_sorted: jax.Array  # int32[S_pad] sharded
+    run_start: jax.Array  # int32[S_pad] sharded (global positions)
+    seg_bounds: jax.Array  # int32[N+1] replicated
+    chunk_starts: jax.Array  # int32[D] replicated: global start of chunk d
+
+    num_segments: int
+    num_paths: int
+    num_steps: int
+    chunk: int
+
+
+def shard_device_graph(dg: DeviceGraph, mesh: Mesh) -> ShardedGraph:
+    """Lay a DeviceGraph's sorted index out across a mesh."""
+    n_dev = mesh.size
+    s = dg.num_steps
+    s_pad = -(-max(s, 1) // n_dev) * n_dev
+
+    path_sorted = np.asarray(dg.step_path_sorted)
+    run_start = np.asarray(dg.run_start)
+    pad = s_pad - s
+    # Sentinel padding: fake path (mask 0), each pad step its own group.
+    path_sorted = np.concatenate(
+        [path_sorted, np.full(pad, dg.num_paths, np.int32)]
+    )
+    run_start = np.concatenate(
+        [run_start, np.arange(s, s_pad, dtype=np.int32)]
+    )
+
+    step_sharding = NamedSharding(mesh, P(STEP_AXES))
+    repl = NamedSharding(mesh, P())
+    chunk = s_pad // n_dev
+    return ShardedGraph(
+        step_path_sorted=jax.device_put(jnp.asarray(path_sorted), step_sharding),
+        run_start=jax.device_put(jnp.asarray(run_start), step_sharding),
+        seg_bounds=jax.device_put(dg.seg_bounds, repl),
+        chunk_starts=jax.device_put(
+            jnp.arange(n_dev, dtype=jnp.int32) * chunk, repl
+        ),
+        num_segments=dg.num_segments,
+        num_paths=dg.num_paths,
+        num_steps=s,
+        chunk=chunk,
+    )
+
+
+def _local_depth_uniq(
+    path_chunk: jax.Array,  # int32[C] local sorted step -> path
+    run_start: jax.Array,  # int32[C] global group starts
+    seg_bounds: jax.Array,  # int32[N+1] global
+    chunk_start: jax.Array,  # int32[] global offset of this chunk
+    mask_ext: jax.Array,  # int32[P+1] path mask with sentinel 0
+    axis_names: Tuple[str, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-device partial (depth, uniq) histograms; caller psums."""
+    c_size = path_chunk.shape[0]
+    w = mask_ext[path_chunk]
+
+    csum = jnp.cumsum(w)
+    padded = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+
+    # Partial plain depth: clip each segment's global range to the chunk.
+    lo = jnp.clip(seg_bounds[:-1] - chunk_start, 0, c_size)
+    hi = jnp.clip(seg_bounds[1:] - chunk_start, 0, c_size)
+    depth_partial = padded[hi] - padded[lo]
+
+    # Uniq: masked count within each group, with cross-chunk carry.
+    local_start = jnp.clip(run_start - chunk_start, 0, c_size - 1)
+    excl = csum - w
+    within_local = csum - excl[local_start]
+
+    # Tail-group summary for the lookback: the last group's global id
+    # and how many masked steps of it live in this chunk.
+    tail_key = run_start[-1]
+    tail_count = csum[-1] - excl[local_start[-1]]
+
+    keys = jax.lax.all_gather(tail_key, axis_names, tiled=False)
+    counts = jax.lax.all_gather(tail_count, axis_names, tiled=False)
+    keys = keys.reshape(-1)
+    counts = counts.reshape(-1)
+
+    my_index = chunk_start // c_size
+    head_key = run_start[0]
+    from_left = jnp.arange(keys.shape[0]) < my_index
+    carry = jnp.sum(jnp.where(from_left & (keys == head_key), counts, 0))
+
+    # Only positions whose group began before this chunk get the carry.
+    started_before = run_start < chunk_start
+    within = within_local + jnp.where(started_before, carry, 0)
+    first = w * (within == 1).astype(w.dtype)
+
+    fsum = jnp.cumsum(first)
+    fpadded = jnp.concatenate([jnp.zeros((1,), fsum.dtype), fsum])
+    uniq_partial = fpadded[hi] - fpadded[lo]
+    return depth_partial, uniq_partial
+
+
+def sharded_seg_depth_fn(
+    mesh: Mesh,
+) -> Callable[[ShardedGraph, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Build the jitted mesh-wide (depth, uniq) query.
+
+    The returned function takes a ShardedGraph and a bool/int mask of
+    shape [P+1] (last entry 0: the padding sentinel) and returns
+    replicated int32[N] depth and uniq vectors.
+    """
+
+    @jax.jit
+    def query(sg: ShardedGraph, mask_ext: jax.Array):
+        def worker(path_chunk, run_start, seg_bounds, chunk_starts, mask):
+            idx = jax.lax.axis_index(STEP_AXES)
+            chunk_start = chunk_starts[idx]
+            d, u = _local_depth_uniq(
+                path_chunk,
+                run_start,
+                seg_bounds,
+                chunk_start,
+                mask,
+                STEP_AXES,
+            )
+            return (
+                jax.lax.psum(d, STEP_AXES),
+                jax.lax.psum(u, STEP_AXES),
+            )
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(STEP_AXES), P(STEP_AXES), P(), P(), P()),
+            out_specs=(P(), P()),
+        )(
+            sg.step_path_sorted,
+            sg.run_start,
+            sg.seg_bounds,
+            sg.chunk_starts,
+            mask_ext,
+        )
+
+    return query
+
+
+def full_mask(num_paths: int) -> jax.Array:
+    """An all-paths mask (with the padding sentinel zeroed)."""
+    return jnp.concatenate(
+        [
+            jnp.ones(num_paths, dtype=jnp.int32),
+            jnp.zeros(1, dtype=jnp.int32),
+        ]
+    )

@@ -7,12 +7,14 @@ does for `dryrun_multichip`).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# jax may already be imported by the interpreter's sitecustomize (TPU
+# autoregistration), so set platform/device-count via jax.config, which
+# takes effect as long as no backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the real TPU
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 import sys

@@ -1,0 +1,87 @@
+"""Device depth/degree kernels vs the spec goldens (exact text parity)."""
+
+import numpy as np
+import pytest
+
+from conftest import GOLDEN_DIR
+from pollen_tpu.device import build_device_graph
+from pollen_tpu.flatgfa import parse_gfa_file
+from pollen_tpu.ops import degree as degree_op
+from pollen_tpu.ops import depth as depth_op
+from pollen_tpu.spec.model import Graph
+
+
+@pytest.fixture()
+def arena(graph_path):
+    g = parse_gfa_file(str(graph_path))
+    return g, build_device_graph(g)
+
+
+def test_seg_depth_matches_golden(graph_path, arena):
+    g, dg = arena
+    golden = (GOLDEN_DIR / f"{graph_path.stem}.depth").read_text()
+    assert depth_op.run_seg_depth(g, dg) == golden
+
+
+def test_seg_depth_subset_matches_golden(graph_path, arena):
+    g, dg = arena
+    golden = (GOLDEN_DIR / f"{graph_path.stem}.depth_subset").read_text()
+    subset = [
+        ln
+        for ln in (GOLDEN_DIR / f"{graph_path.stem}.depthpaths")
+        .read_text()
+        .splitlines()
+        if ln
+    ]
+    assert depth_op.run_seg_depth(g, dg, subset) == golden
+
+
+def test_degree_matches_golden(graph_path, arena):
+    g, dg = arena
+    golden = (GOLDEN_DIR / f"{graph_path.stem}.degree").read_text()
+    assert degree_op.run_degree(g, dg) == golden
+
+
+def test_empty_subset(graph_path, arena):
+    g, dg = arena
+    table = depth_op.run_seg_depth(g, dg, [])
+    for line in table.splitlines()[1:]:
+        _, d, u = line.split("\t")
+        assert d == "0" and u == "0"
+
+
+def test_path_depth_weighted_mean(arena):
+    """path_depth agrees with a straightforward spec-level recomputation."""
+    g, dg = arena
+    spec = Graph.parse_lines(iter(_arena_text(g).splitlines()))
+    lengths, sums = depth_op.path_depth(dg)
+    lengths, sums = np.asarray(lengths), np.asarray(sums)
+
+    # Spec-level: seg depth by brute force, then length-weighted mean.
+    seg_depth = {name: 0 for name in spec.segments}
+    for path in spec.paths.values():
+        for step in path.steps:
+            seg_depth[step.name] += 1
+    for i, (pname, path) in enumerate(spec.paths.items()):
+        want_len = sum(len(spec.segments[s.name].seq) for s in path.steps)
+        want_sum = sum(
+            seg_depth[s.name] * len(spec.segments[s.name].seq)
+            for s in path.steps
+        )
+        assert lengths[i] == want_len
+        assert sums[i] == want_sum
+
+
+def _arena_text(g):
+    from pollen_tpu.emit import emit_gfa
+
+    return emit_gfa(g, order="preserved")
+
+
+def test_format_float():
+    f = depth_op.format_float
+    assert f(2.0, 2) == "2"
+    assert f(2.5, 2) == "2.5"
+    assert f(2.504, 2) == "2.5"
+    assert f(2.505, 2) == "2.51" or f(2.505, 2) == "2.5"  # banker's edge
+    assert f(0.0, 2) == "0"

@@ -1,0 +1,73 @@
+"""Sharded (mesh) depth vs the single-device kernels, on a virtual
+8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from pollen_tpu.device import build_device_graph
+from pollen_tpu.flatgfa import parse_gfa_file
+from pollen_tpu.ops import depth as depth_op
+from pollen_tpu.parallel import (
+    make_mesh,
+    shard_device_graph,
+    sharded_seg_depth_fn,
+)
+from pollen_tpu.parallel.sharded import full_mask
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+    return make_mesh()
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"host": 2, "chip": 4}
+
+
+def test_sharded_depth_matches_single(graph_path, mesh):
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    sg = shard_device_graph(dg, mesh)
+    query = sharded_seg_depth_fn(mesh)
+
+    depth_m, uniq_m = query(sg, full_mask(dg.num_paths))
+    depth_1, uniq_1 = depth_op.seg_depth_with_uniq(dg)
+    np.testing.assert_array_equal(np.asarray(depth_m), np.asarray(depth_1))
+    np.testing.assert_array_equal(np.asarray(uniq_m), np.asarray(uniq_1))
+
+
+def test_sharded_depth_masked_matches_single(graph_path, mesh):
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    sg = shard_device_graph(dg, mesh)
+    query = sharded_seg_depth_fn(mesh)
+
+    # Drop every other path.
+    mask = np.zeros(dg.num_paths + 1, dtype=np.int32)
+    mask[0 : dg.num_paths : 2] = 1
+    depth_m, uniq_m = query(sg, jnp.asarray(mask))
+    depth_1, uniq_1 = depth_op.seg_depth_with_uniq_masked(
+        dg, jnp.asarray(mask[:-1].astype(bool))
+    )
+    np.testing.assert_array_equal(np.asarray(depth_m), np.asarray(depth_1))
+    np.testing.assert_array_equal(np.asarray(uniq_m), np.asarray(uniq_1))
+
+
+def test_sharded_uniq_straddling_groups(mesh):
+    """A graph built so one (segment, path) group spans several chunks:
+    one segment crossed 64 times by one path. Uniq must still be 1."""
+    steps = ",".join(["1+"] * 64)
+    text = f"H\tVN:Z:1.0\nS\t1\tACGT\nS\t2\tT\nP\tbig\t{steps}\t*\nP\tb2\t2+,1+\t*\n"
+    from pollen_tpu.flatgfa import parse_gfa
+
+    g = parse_gfa(text.encode())
+    dg = build_device_graph(g)
+    sg = shard_device_graph(dg, mesh)
+    query = sharded_seg_depth_fn(mesh)
+    depth_m, uniq_m = query(sg, full_mask(dg.num_paths))
+    assert np.asarray(depth_m).tolist() == [65, 1]
+    assert np.asarray(uniq_m).tolist() == [2, 1]
