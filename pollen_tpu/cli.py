@@ -1,19 +1,25 @@
 """``fgfa-tpu``: the command-line driver for the flat TPU engine.
 
 Mirrors the reference's ``fgfa`` CLI surface (reference:
-flatgfa/src/cli/main.rs:9-55) — I/O mode selection plus one subcommand
-per query — with the compute path running through JAX.
-
-Subcommands land here as the engine grows; ``norm``/``paths`` work today.
+flatgfa/src/cli/main.rs:9-55 and cli/cmds.rs) — I/O mode flags plus one
+subcommand per query — with the compute path running through JAX.
+Queries whose outputs are defined by the executable spec print
+byte-identical text.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+from typing import List, Optional
 
 from .emit import emit_gfa
-from .flatgfa import GraphArrays, parse_gfa_file
+from .flatgfa import GraphArrays, parse_gfa, parse_gfa_file
+
+
+def _read_lines(filename: str) -> List[str]:
+    with open(filename, "r", encoding="utf-8") as f:
+        return [ln.strip() for ln in f if ln.strip()]
 
 
 def _load(args: argparse.Namespace) -> GraphArrays:
@@ -23,10 +29,7 @@ def _load(args: argparse.Namespace) -> GraphArrays:
         return load_flatgfa(args.input)
     if args.input_gfa:
         return parse_gfa_file(args.input_gfa)
-    data = sys.stdin.buffer.read()
-    from .flatgfa import parse_gfa
-
-    return parse_gfa(data)
+    return parse_gfa(sys.stdin.buffer.read())
 
 
 def _store(args: argparse.Namespace, g: GraphArrays) -> bool:
@@ -34,7 +37,7 @@ def _store(args: argparse.Namespace, g: GraphArrays) -> bool:
     if args.output:
         from .fileformat import save_flatgfa
 
-        save_flatgfa(args.output, g)
+        save_flatgfa(args.output, g, spare=args.prealloc_factor)
         return True
     if args.output_gfa:
         with open(args.output_gfa, "w", encoding="ascii") as f:
@@ -43,35 +46,173 @@ def _store(args: argparse.Namespace, g: GraphArrays) -> bool:
     return False
 
 
+def _choose_platform(g: GraphArrays) -> None:
+    """Pick the JAX platform before backend init: accelerators pay off
+    only past a size threshold (compile + transfer latency dominates
+    small graphs). Override with POLLEN_DEVICE=cpu|tpu|axon or let an
+    initialized backend stand."""
+    import os
+
+    import jax
+
+    choice = os.environ.get("POLLEN_DEVICE")
+    if choice is None and g.num_steps < 4_000_000:
+        choice = "cpu"
+    if choice in ("tpu", "axon"):
+        return  # leave the environment's accelerator default in place
+    if choice:
+        try:
+            jax.config.update("jax_platforms", choice)
+        except Exception:
+            pass  # backend already initialized; keep it
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="fgfa-tpu")
     parser.add_argument("-i", "--input", help="read a binary FlatGFA file")
     parser.add_argument("-I", "--input-gfa", help="read a GFA text file")
     parser.add_argument("-o", "--output", help="write a binary FlatGFA file")
     parser.add_argument("-O", "--output-gfa", help="write a GFA text file")
+    parser.add_argument(
+        "-p",
+        "--prealloc-factor",
+        type=float,
+        default=0.0,
+        help="spare-capacity fraction for binary output",
+    )
     sub = parser.add_subparsers(dest="command", metavar="COMMAND")
 
     sub.add_parser("paths", help="list the paths")
     sub.add_parser("norm", help="emit the graph in normalized order")
+    sub.add_parser("toc", help="print the pool table of contents").add_argument(
+        "-b", "--bytes", action="store_true", help="sizes in bytes"
+    )
+
+    cmd = sub.add_parser("stats", help="graph statistics")
+    cmd.add_argument("-S", "--summarize", action="store_true")
+    cmd.add_argument("-L", "--self-loops", action="store_true")
+
+    cmd = sub.add_parser("depth", help="segment or path depth")
+    cmd.add_argument(
+        "-d", "--graph-depth-table", action="store_true", dest="seg_depth"
+    )
+    cmd.add_argument(
+        "-s", "--subset-paths", help="file listing paths to count"
+    )
+    cmd.add_argument(
+        "-r", "--path", action="append", default=[], help="path-depth rows"
+    )
+
+    sub.add_parser("degree", help="per-segment degree table")
+    sub.add_parser("matrix", help="sparse matrix rendering")
+    sub.add_parser("flatten", help="FASTA + BED rendering")
+    sub.add_parser("validate", help="check links support paths")
+
+    cmd = sub.add_parser("position", help="locate a bp offset on a path")
+    cmd.add_argument(
+        "-p",
+        "--path-pos",
+        required=True,
+        help="path_name,offset,orientation",
+    )
+
+    cmd = sub.add_parser("overlap", help="paths sharing steps with queries")
+    cmd.add_argument("--paths", required=True, help="file listing paths")
 
     return parser
 
 
-def main() -> None:
+def _toc_text(g: GraphArrays, in_bytes: bool) -> str:
+    from .fileformat import _POOL_ELEM, _pools_of
+
+    pools = _pools_of(g)
+    lines = []
+    for name, arr in pools.items():
+        count = arr.shape[0]
+        if in_bytes:
+            count *= _POOL_ELEM[name].itemsize
+        label = "optional_data" if name == "optional_data" else name
+        lines.append(f"{label}: {count}")
+    return "\n".join(lines) + "\n"
+
+
+def main(argv: Optional[List[str]] = None) -> None:
     parser = build_parser()
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     g = _load(args)
 
+    if args.command is None:
+        if not _store(args, g):
+            sys.stdout.write(emit_gfa(g, order="preserved"))
+        return
+
+    out = sys.stdout
     if args.command == "paths":
         for name in g.path_names():
             print(name.decode())
     elif args.command == "norm":
-        sys.stdout.write(emit_gfa(g, order="sorted"))
-    elif args.command is None:
-        if not _store(args, g):
-            sys.stdout.write(emit_gfa(g, order="preserved"))
+        out.write(emit_gfa(g, order="sorted"))
+    elif args.command == "toc":
+        out.write(_toc_text(g, args.bytes))
+    elif args.command == "stats":
+        from .ops.validate import run_stats
+
+        out.write(run_stats(g, self_loops=args.self_loops))
+    elif args.command == "matrix":
+        from .ops.matrix import run_matrix
+
+        out.write(run_matrix(g))
+    elif args.command == "validate":
+        from .ops.validate import run_validate
+
+        out.write(run_validate(g))
     else:
-        parser.error(f"unknown command {args.command!r}")
+        # Device-graph-backed queries.
+        _choose_platform(g)
+        from .device import build_device_graph
+
+        dg = build_device_graph(g)
+        if args.command == "depth":
+            from .ops import depth as depth_op
+
+            if args.seg_depth:
+                subset = (
+                    _read_lines(args.subset_paths)
+                    if args.subset_paths
+                    else None
+                )
+                out.write(depth_op.run_seg_depth(g, dg, subset))
+            else:
+                out.write(
+                    depth_op.run_path_depth(
+                        g, dg, args.path if args.path else None
+                    )
+                )
+        elif args.command == "degree":
+            from .ops.degree import run_degree
+
+            out.write(run_degree(g, dg))
+        elif args.command == "flatten":
+            from .ops.flatten import run_flatten
+
+            name = args.input_gfa or args.input or "graph"
+            base = name.rsplit(".", 1)[0]
+            out.write(run_flatten(g, dg, f"{base}.og"))
+        elif args.command == "position":
+            from .ops.position import run_position
+
+            parts = args.path_pos.split(",")
+            if len(parts) != 3:
+                parser.error("position must be path_name,offset,orientation")
+            result = run_position(g, dg, parts[0], int(parts[1]))
+            if result:
+                out.write(result)
+        elif args.command == "overlap":
+            from .ops.overlap import run_overlap
+
+            out.write(run_overlap(g, dg, _read_lines(args.paths)))
+
+    _store(args, g)
 
 
 if __name__ == "__main__":

@@ -5,4 +5,12 @@ emitter rendering the odgi-compatible text (byte-for-byte equal to the
 executable spec's output).
 """
 
-from . import degree, depth  # noqa: F401
+from . import (  # noqa: F401
+    degree,
+    depth,
+    flatten,
+    matrix,
+    overlap,
+    position,
+    validate,
+)

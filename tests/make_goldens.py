@@ -73,7 +73,10 @@ def main() -> None:
         save("inject", emit(commands.inject(fresh, beds), include_links=False))
         vs = commands.validate_setup(Graph.parse_file(str(path)))
         save("validate_setup", emit(vs))
-        save("validate_broken", capture(commands.validate, vs))
+        # Validate the *emitted* graph (normalized path order), as a
+        # pipeline consumer would see it.
+        reparsed = Graph.parse_lines(iter(emit(vs).splitlines()))
+        save("validate_broken", capture(commands.validate, reparsed))
 
     print(f"wrote goldens for {len(GRAPHS)} graphs into {GOLDEN}")
 
