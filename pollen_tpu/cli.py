@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
     cmd = sub.add_parser("overlap", help="paths sharing steps with queries")
     cmd.add_argument("--paths", required=True, help="file listing paths")
 
+    cmd = sub.add_parser("chop", help="split segments to a max length")
+    cmd.add_argument("-c", "--count", type=int, required=True)
+    cmd.add_argument("-l", "--links", action="store_true")
+
+    sub.add_parser("crush", help="squash runs of N")
+    sub.add_parser("flip", help="orient paths forward")
+
     return parser
 
 
@@ -166,6 +173,29 @@ def main(argv: Optional[List[str]] = None) -> None:
         from .ops.validate import run_validate
 
         out.write(run_validate(g))
+    elif args.command == "crush":
+        from .ops.transform import crush
+
+        out.write(emit_gfa(crush(g), order="sorted"))
+    elif args.command == "chop":
+        from .ops.transform import chop
+
+        out.write(
+            emit_gfa(
+                chop(g, args.count, with_links=args.links),
+                order="sorted",
+                include_links=args.links,
+            )
+        )
+    elif args.command == "flip":
+        _choose_platform(g)
+        from .device import build_device_graph
+        from .ops.transform import flip
+
+        flipped, sort_keys = flip(g, build_device_graph(g))
+        out.write(
+            emit_gfa(flipped, order="sorted", path_sort_keys=sort_keys)
+        )
     else:
         # Device-graph-backed queries.
         _choose_platform(g)

@@ -115,8 +115,19 @@ def link_lines(g: GraphArrays) -> List[str]:
     ]
 
 
-def emit_gfa(g: GraphArrays, order: str = "preserved") -> str:
-    """Render the whole graph as GFA text."""
+def emit_gfa(
+    g: GraphArrays,
+    order: str = "preserved",
+    path_sort_keys=None,
+    include_links: bool = True,
+) -> str:
+    """Render the whole graph as GFA text.
+
+    ``path_sort_keys`` overrides the string each path sorts by in
+    ``sorted`` mode (the spec sorts ``flip`` output by the paths'
+    *original*, pre-rename names). ``include_links=False`` omits L lines
+    (the spec emits chop/inject results linkless).
+    """
     header = (
         ["H\t" + g.header.tobytes().decode("ascii")] if g.header.size else []
     )
@@ -138,14 +149,19 @@ def emit_gfa(g: GraphArrays, order: str = "preserved") -> str:
         # The executable spec's emission order (string sort on names;
         # links by canonical text form). See spec/model.py Graph.emit.
         seg_order = np.argsort(g.seg_name.astype("U20"), kind="stable")
-        path_order = sorted(
-            range(g.num_paths), key=lambda p: g.path_name_bytes(p)
-        )
+        if path_sort_keys is None:
+            path_order = sorted(
+                range(g.num_paths), key=lambda p: g.path_name_bytes(p)
+            )
+        else:
+            path_order = sorted(
+                range(g.num_paths), key=lambda p: path_sort_keys[p]
+            )
         lines = (
             header
             + [segs[i] for i in seg_order]
             + [paths[i] for i in path_order]
-            + sorted(_canonical_link_lines(g))
+            + (sorted(_canonical_link_lines(g)) if include_links else [])
         )
     else:
         raise ValueError(f"unknown emission order {order!r}")
