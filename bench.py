@@ -111,23 +111,39 @@ def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
     return n_steps * 8 / per_iter  # 4B read + 4B write per element
 
 
-def measure_depth(dg, reps: int, chain: int) -> float:
-    """Best per-query time for the masked depth+uniq kernel."""
+def measure_depth(dg, reps: int, chain: int, fused: bool = True) -> float:
+    """Best per-query time for the masked depth+uniq query.
+
+    ``fused`` uses the Pallas segmented-scan kernel (TPU); otherwise the
+    portable XLA pipeline.
+    """
     import jax
     import jax.numpy as jnp
 
     from pollen_tpu.device import bounded_segment_sum, first_in_group_mask
+    from pollen_tpu.kernels.segscan import (
+        depth_uniq_from_cumsums,
+        masked_depth_cumsums,
+    )
 
-    p = dg.num_paths
+    p_pad = -(-(dg.num_paths + 1) // 128) * 128
 
     @jax.jit
     def chained(dg, mask):
         def body(i, carry):
             mask, acc = carry
-            w = mask[dg.step_path_sorted]
-            depth = bounded_segment_sum(w, dg.seg_bounds)
-            first = first_in_group_mask(w, dg.run_start)
-            uniq = bounded_segment_sum(first, dg.seg_bounds)
+            if fused:
+                csw, csf = masked_depth_cumsums(
+                    dg.step_path_sorted, dg.run_start, mask
+                )
+                depth, uniq = depth_uniq_from_cumsums(
+                    csw, csf, dg.seg_bounds
+                )
+            else:
+                w = mask[dg.step_path_sorted]
+                depth = bounded_segment_sum(w, dg.seg_bounds)
+                first = first_in_group_mask(w, dg.run_start)
+                uniq = bounded_segment_sum(first, dg.seg_bounds)
             # True dependency: next mask derives from this output.
             mask = jnp.roll(mask, 1).at[0].set(depth[0] % 2)
             return mask, acc + depth[-1] + uniq[-1]
@@ -137,7 +153,7 @@ def measure_depth(dg, reps: int, chain: int) -> float:
         )
         return acc
 
-    mask = jnp.ones(p, dtype=jnp.int32)
+    mask = jnp.zeros(p_pad, dtype=jnp.int32).at[: dg.num_paths].set(1)
     return _time_chain(chained, (dg, mask), reps, chain)
 
 
@@ -148,12 +164,16 @@ def main() -> None:
     reps = int(os.environ.get("POLLEN_BENCH_REPS", 3))
     chain = int(os.environ.get("POLLEN_BENCH_CHAIN", 8))
 
+    import jax
+
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
 
+    fused = jax.default_backend() != "cpu"
+    bytes_per_step = 16.0 if fused else BYTES_PER_STEP
     roofline = measure_stream_roofline(n_steps, reps, chain)
-    per_query = measure_depth(dg, reps, chain)
+    per_query = measure_depth(dg, reps, chain, fused=fused)
     steps_per_s = n_steps / per_query
-    achieved_bytes = steps_per_s * BYTES_PER_STEP
+    achieved_bytes = steps_per_s * bytes_per_step
     vs_baseline = achieved_bytes / roofline
 
     print(

@@ -86,6 +86,11 @@ class DeviceGraph:
         return self.steps.shape[0]
 
     @property
+    def padded_steps(self) -> int:
+        """Length of the padded sorted index (multiple of 4096)."""
+        return self.step_path_sorted.shape[0]
+
+    @property
     def num_links(self) -> int:
         return self.link_from.shape[0]
 
@@ -126,6 +131,18 @@ def build_device_graph(
         run_start = starts[run_idx]
     else:
         run_start = np.zeros(0, dtype=np.int32)
+
+    # Pad the sorted index to the Pallas block size: pad entries use a
+    # sentinel path id (= p, masked to 0) and are their own group, and
+    # they sit beyond seg_bounds[n] so boundary diffs never see them.
+    blk = 4096
+    s_pad = -(-max(s, 1) // blk) * blk
+    path_sorted = np.concatenate(
+        [path_sorted, np.full(s_pad - s, p, np.int32)]
+    )
+    run_start = np.concatenate(
+        [run_start, np.arange(s, s_pad, dtype=np.int32)]
+    )
 
     # Path step-span boundaries (step spans are contiguous in path order).
     path_bounds = np.concatenate(

@@ -25,14 +25,21 @@ from ..flatgfa import GraphArrays
 @jax.jit
 def seg_depth_with_uniq(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
     """(depth, unique depth) per segment, over all paths."""
-    ones = jnp.ones(dg.num_steps, dtype=jnp.int32)
+    ones = jnp.ones(dg.padded_steps, dtype=jnp.int32)
     depth = bounded_segment_sum(ones, dg.seg_bounds)
     # With all-ones weights, the first step of every (segment, path)
     # group is exactly the group's start position.
-    pos = jnp.arange(dg.num_steps, dtype=jnp.int32)
+    pos = jnp.arange(dg.padded_steps, dtype=jnp.int32)
     first = (pos == dg.run_start).astype(jnp.int32)
     uniq = bounded_segment_sum(first, dg.seg_bounds)
     return depth, uniq
+
+
+def _extend_mask(path_mask: jax.Array) -> jax.Array:
+    """Append the padding sentinel's 0 entry to a bool/int mask."""
+    return jnp.concatenate(
+        [path_mask.astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )
 
 
 @jax.jit
@@ -40,12 +47,34 @@ def seg_depth_with_uniq_masked(
     dg: DeviceGraph, path_mask: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """(depth, unique depth) per segment, counting only paths where
-    ``path_mask`` (bool[P]) is set."""
-    w = path_mask.astype(jnp.int32)[dg.step_path_sorted]
+    ``path_mask`` (bool[P]) is set. XLA implementation (portable)."""
+    w = _extend_mask(path_mask)[dg.step_path_sorted]
     depth = bounded_segment_sum(w, dg.seg_bounds)
     first = first_in_group_mask(w, dg.run_start)
     uniq = bounded_segment_sum(first, dg.seg_bounds)
     return depth, uniq
+
+
+@jax.jit
+def seg_depth_with_uniq_fused(
+    dg: DeviceGraph, path_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) via the fused Pallas segmented-scan kernel
+    (TPU; one pass over the step list — see kernels/segscan.py)."""
+    from ..kernels.segscan import (
+        depth_uniq_from_cumsums,
+        masked_depth_cumsums,
+    )
+
+    mask_ext = _extend_mask(path_mask)
+    p_pad = -(-mask_ext.shape[0] // 128) * 128
+    mask_padded = jnp.zeros(p_pad, jnp.int32).at[: mask_ext.shape[0]].set(
+        mask_ext
+    )
+    csw, csf = masked_depth_cumsums(
+        dg.step_path_sorted, dg.run_start, mask_padded
+    )
+    return depth_uniq_from_cumsums(csw, csf, dg.seg_bounds)
 
 
 @jax.jit
@@ -118,12 +147,19 @@ def run_seg_depth(
     dg: DeviceGraph,
     subset_paths: Optional[List[str]] = None,
 ) -> str:
-    """End-to-end segment depth query: device kernel + TSV rendering."""
+    """End-to-end segment depth query: device kernel + TSV rendering.
+
+    Subset queries use the fused Pallas kernel on TPU backends and the
+    portable XLA pipeline elsewhere.
+    """
     if subset_paths is None:
         depth, uniq = seg_depth_with_uniq(dg)
     else:
         mask = jnp.asarray(path_mask_for(g, subset_paths))
-        depth, uniq = seg_depth_with_uniq_masked(dg, mask)
+        if jax.default_backend() not in ("cpu",):
+            depth, uniq = seg_depth_with_uniq_fused(dg, mask)
+        else:
+            depth, uniq = seg_depth_with_uniq_masked(dg, mask)
     return seg_depth_table(g, np.asarray(depth), np.asarray(uniq))
 
 

@@ -80,11 +80,10 @@ class ShardedGraph:
 def shard_device_graph(dg: DeviceGraph, mesh: Mesh) -> ShardedGraph:
     """Lay a DeviceGraph's sorted index out across a mesh."""
     n_dev = mesh.size
-    s = dg.num_steps
-    s_pad = -(-max(s, 1) // n_dev) * n_dev
-
-    path_sorted = np.asarray(dg.step_path_sorted)
+    path_sorted = np.asarray(dg.step_path_sorted)  # already block-padded
     run_start = np.asarray(dg.run_start)
+    s = path_sorted.shape[0]
+    s_pad = -(-max(s, 1) // n_dev) * n_dev
     pad = s_pad - s
     # Sentinel padding: fake path (mask 0), each pad step its own group.
     path_sorted = np.concatenate(

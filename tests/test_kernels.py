@@ -1,0 +1,98 @@
+"""Pallas segmented-scan kernel vs the XLA reference pipeline
+(interpreter mode on CPU; the compiled path is exercised on TPU by
+bench.py and run_seg_depth)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pollen_tpu.device import build_device_graph
+from pollen_tpu.flatgfa import parse_gfa_file
+from pollen_tpu.kernels.segscan import (
+    depth_uniq_from_cumsums,
+    masked_depth_cumsums,
+)
+from pollen_tpu.ops.depth import seg_depth_with_uniq_masked
+
+
+def _random_case(s, p, n, seed):
+    rng = np.random.default_rng(seed)
+    seg = np.sort(rng.integers(0, n, s)).astype(np.int32)
+    path = rng.integers(0, p, s).astype(np.int32)
+    order = np.lexsort((path, seg))
+    seg, path = seg[order], path[order]
+    new = np.concatenate(
+        ([True], (seg[1:] != seg[:-1]) | (path[1:] != path[:-1]))
+    )
+    starts = np.flatnonzero(new)
+    run_start = starts[np.cumsum(new) - 1].astype(np.int32)
+    bounds = np.searchsorted(seg, np.arange(n + 1)).astype(np.int32)
+    return seg, path, run_start, bounds
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("p", [60, 200])
+def test_kernel_matches_bruteforce(seed, p):
+    s, n = 8192, 37
+    seg, path, run_start, bounds = _random_case(s, p, n, seed)
+    p_pad = -(-(p + 1) // 128) * 128
+    rng = np.random.default_rng(seed + 100)
+    mask = np.zeros(p_pad, np.int32)
+    mask[:p] = rng.integers(0, 2, p)
+
+    csw, csf = masked_depth_cumsums(
+        jnp.asarray(path),
+        jnp.asarray(run_start),
+        jnp.asarray(mask),
+        interpret=True,
+    )
+    depth, uniq = depth_uniq_from_cumsums(csw, csf, jnp.asarray(bounds))
+
+    w = mask[path]
+    for i in range(n):
+        sel = slice(bounds[i], bounds[i + 1])
+        assert depth[i] == w[sel].sum()
+        assert uniq[i] == len(set(path[sel][w[sel] > 0]))
+
+
+def test_kernel_group_spans_blocks():
+    """One (segment, path) group spanning multiple 4096-step blocks."""
+    s = 3 * 4096
+    path = np.zeros(s, np.int32)
+    run_start = np.zeros(s, np.int32)
+    bounds = np.array([0, s], np.int32)
+    mask = np.ones(128, np.int32)
+    csw, csf = masked_depth_cumsums(
+        jnp.asarray(path),
+        jnp.asarray(run_start),
+        jnp.asarray(mask),
+        interpret=True,
+    )
+    depth, uniq = depth_uniq_from_cumsums(csw, csf, jnp.asarray(bounds))
+    assert int(depth[0]) == s
+    assert int(uniq[0]) == 1
+
+
+def test_fused_path_matches_xla_on_fixture(graph_path):
+    from pollen_tpu.ops.depth import _extend_mask
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    rng = np.random.default_rng(7)
+    mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+
+    mask_ext = np.asarray(_extend_mask(jnp.asarray(mask)))
+    p_pad = -(-mask_ext.shape[0] // 128) * 128
+    mask_padded = np.zeros(p_pad, np.int32)
+    mask_padded[: mask_ext.shape[0]] = mask_ext
+
+    csw, csf = masked_depth_cumsums(
+        dg.step_path_sorted,
+        dg.run_start,
+        jnp.asarray(mask_padded),
+        interpret=True,
+    )
+    d_f, u_f = depth_uniq_from_cumsums(csw, csf, dg.seg_bounds)
+    d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_x))
