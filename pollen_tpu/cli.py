@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     cmd.add_argument(
         "-r", "--path", action="append", default=[], help="path-depth rows"
     )
+    cmd.add_argument(
+        "-b", "--bed-input", help="depth for intervals from a BED file"
+    )
 
     sub.add_parser("degree", help="per-segment degree table")
     sub.add_parser("matrix", help="sparse matrix rendering")
@@ -125,6 +128,31 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("crush", help="squash runs of N")
     sub.add_parser("flip", help="orient paths forward")
+
+    cmd = sub.add_parser("gaf", help="look up read positions from a GAF")
+    cmd.add_argument("gaf_file")
+    cmd.add_argument("-s", "--seqs", action="store_true")
+    cmd.add_argument("-b", "--bench", action="store_true")
+
+    cmd = sub.add_parser("bed", help="intersect two BED files")
+    cmd.add_argument("-a", dest="bed_a", required=True)
+    cmd.add_argument("-b", dest="bed_b", required=True)
+
+    cmd = sub.add_parser(
+        "pangenotype", help="sample x segment matrix from GAF files"
+    )
+    cmd.add_argument("gaf_files", nargs="+")
+
+    cmd = sub.add_parser(
+        "window-depth", help="depth of equal windows along a path"
+    )
+    cmd.add_argument("path")
+    cmd.add_argument("window", type=int)
+
+    cmd = sub.add_parser(
+        "bed-depth", help="depth of BED intervals along a path"
+    )
+    cmd.add_argument("-b", "--bed-input", required=True)
 
     return parser
 
@@ -177,6 +205,18 @@ def main(argv: Optional[List[str]] = None) -> None:
         from .ops.transform import crush
 
         out.write(emit_gfa(crush(g), order="sorted"))
+    elif args.command == "bed":
+        from .bed import parse_bed_file, run_bed_intersect
+
+        out.write(
+            run_bed_intersect(
+                parse_bed_file(args.bed_a), parse_bed_file(args.bed_b)
+            )
+        )
+    elif args.command == "pangenotype":
+        from .ops.gaf import run_pangenotype
+
+        out.write(run_pangenotype(g, args.gaf_files))
     elif args.command == "chop":
         from .ops.transform import chop
 
@@ -205,7 +245,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         if args.command == "depth":
             from .ops import depth as depth_op
 
-            if args.seg_depth:
+            if args.bed_input:
+                from .bed import parse_bed_file
+                from .ops.window_depth import run_bed_depth
+
+                out.write(
+                    run_bed_depth(g, dg, parse_bed_file(args.bed_input))
+                )
+            elif args.seg_depth:
                 subset = (
                     _read_lines(args.subset_paths)
                     if args.subset_paths
@@ -241,6 +288,24 @@ def main(argv: Optional[List[str]] = None) -> None:
             from .ops.overlap import run_overlap
 
             out.write(run_overlap(g, dg, _read_lines(args.paths)))
+        elif args.command == "gaf":
+            from .ops.gaf import parse_gaf_file, run_gaf_lookup
+
+            reads = parse_gaf_file(args.gaf_file, g)
+            out.write(
+                run_gaf_lookup(
+                    g, dg, reads, seqs=args.seqs, bench=args.bench
+                )
+            )
+        elif args.command == "window-depth":
+            from .ops.window_depth import run_window_depth
+
+            out.write(run_window_depth(g, dg, args.path, args.window))
+        elif args.command == "bed-depth":
+            from .bed import parse_bed_file
+            from .ops.window_depth import run_bed_depth
+
+            out.write(run_bed_depth(g, dg, parse_bed_file(args.bed_input)))
 
     _store(args, g)
 
