@@ -20,12 +20,22 @@ _NEWLINE = 10
 
 @dataclasses.dataclass
 class FlatBed:
-    """A parsed BED file: intervals with shared name bytes."""
+    """A parsed BED file: intervals with shared name bytes.
+
+    ``label_*`` carries the optional 4th column (used by ``inject`` to
+    name new paths).
+    """
 
     name_data: np.ndarray  # uint8[*]
     name_span: np.ndarray  # uint32[E, 2]
     start: np.ndarray  # uint64[E]
     end: np.ndarray  # uint64[E]
+    label_data: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint8)
+    )
+    label_span: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.uint32)
+    )
 
     @property
     def num_entries(self) -> int:
@@ -34,6 +44,12 @@ class FlatBed:
     def entry_name(self, i: int) -> bytes:
         lo, hi = self.name_span[i]
         return self.name_data[lo:hi].tobytes()
+
+    def entry_label(self, i: int) -> bytes:
+        if self.label_span.shape[0] <= i:
+            return b""
+        lo, hi = self.label_span[i]
+        return self.label_data[lo:hi].tobytes()
 
     def names(self) -> List[bytes]:
         return [self.entry_name(i) for i in range(self.num_entries)]
@@ -85,7 +101,7 @@ def parse_bed(data: bytes) -> FlatBed:
         pos = np.where(idx < tabs.shape[0], pos, ends)
         return np.minimum(pos, ends)
 
-    t0, t1, t2 = kth(0), kth(1), kth(2)
+    t0, t1, t2, t3 = kth(0), kth(1), kth(2), kth(3)
     name_lens = t0 - starts
     name_data = ragged_gather(buf, starts, name_lens)
     n_end = np.cumsum(name_lens)
@@ -93,7 +109,14 @@ def parse_bed(data: bytes) -> FlatBed:
 
     lo = parse_uints(buf, t0 + 1, t1 - (t0 + 1)).astype(np.uint64)
     hi = parse_uints(buf, t1 + 1, t2 - (t1 + 1)).astype(np.uint64)
-    return FlatBed(name_data, name_span, lo, hi)
+
+    # Optional 4th column (inject's new-path label).
+    lab_lo = np.minimum(t2 + 1, t3)
+    lab_lens = t3 - lab_lo
+    label_data = ragged_gather(buf, lab_lo, lab_lens)
+    l_end = np.cumsum(lab_lens)
+    label_span = np.stack([l_end - lab_lens, l_end], axis=1).astype(np.uint32)
+    return FlatBed(name_data, name_span, lo, hi, label_data, label_span)
 
 
 def parse_bed_file(filename: str) -> FlatBed:

@@ -154,6 +154,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cmd.add_argument("-b", "--bed-input", required=True)
 
+    cmd = sub.add_parser("extract", help="neighborhood subgraph")
+    cmd.add_argument("-n", "--seg-name", type=int, required=True)
+    cmd.add_argument("-c", "--link-distance", type=int, required=True)
+    cmd.add_argument(
+        "-d", "--max-distance-subpaths", type=int, default=300_000
+    )
+    cmd.add_argument("-e", "--max-merging-iterations", type=int, default=6)
+
+    cmd = sub.add_parser("inject", help="add BED regions as new paths")
+    cmd.add_argument("--bed", required=True)
+
     return parser
 
 
@@ -217,6 +228,25 @@ def main(argv: Optional[List[str]] = None) -> None:
         from .ops.gaf import run_pangenotype
 
         out.write(run_pangenotype(g, args.gaf_files))
+    elif args.command == "extract":
+        from .ops.extract import extract
+
+        sub_g = extract(
+            g,
+            args.seg_name,
+            args.link_distance,
+            args.max_distance_subpaths,
+            args.max_merging_iterations,
+        )
+        if not _store(args, sub_g):
+            out.write(emit_gfa(sub_g, order="normalized"))
+        return
+    elif args.command == "inject":
+        from .bed import parse_bed_file
+        from .ops.inject import inject
+
+        new_g = inject(g, parse_bed_file(args.bed))
+        out.write(emit_gfa(new_g, order="sorted", include_links=False))
     elif args.command == "chop":
         from .ops.transform import chop
 

@@ -382,6 +382,87 @@ def inject(graph: Graph, beds: List[Bed]) -> Graph:
 
 
 # ---------------------------------------------------------------------------
+# extract (clarity model of the reference's Rust op: ops/extract.rs)
+# ---------------------------------------------------------------------------
+
+
+def extract(
+    graph: Graph,
+    seg_name: str,
+    link_distance: int,
+    max_distance_subpaths: int = 300_000,
+    num_iterations: int = 6,
+) -> Graph:
+    """Neighborhood subgraph: segments within ``link_distance`` links of
+    the origin (in discovery order), optional gap merging, links among
+    included segments, and ``{path}:{lo}-{hi}``-named subpaths."""
+    included: Dict[str, int] = {seg_name: 0}
+    frontier = [seg_name]
+    for _ in range(link_distance):
+        next_frontier: List[str] = []
+        while frontier:
+            seg = frontier.pop()
+            for link in graph.links:
+                if link.src.name == seg:
+                    other = link.dst.name
+                elif link.dst.name == seg:
+                    other = link.src.name
+                else:
+                    continue
+                if other not in included:
+                    included[other] = len(included)
+                    next_frontier.append(other)
+        frontier = next_frontier
+
+    # Gap merging: adopt the segments of a between-visit gap while the
+    # cumulative bp position is still within range.
+    for _ in range(num_iterations):
+        for path in graph.paths.values():
+            gap_start = 0
+            in_gap = True
+            ignoring = True
+            walked = 0
+            for i, step in enumerate(path.steps):
+                inside = step.name in included
+                if in_gap and inside:
+                    if not ignoring and walked <= max_distance_subpaths:
+                        for gap_step in path.steps[gap_start:i]:
+                            if gap_step.name not in included:
+                                included[gap_step.name] = len(included)
+                    in_gap = False
+                    ignoring = False
+                elif not in_gap and not inside:
+                    gap_start = i
+                    in_gap = True
+                walked += len(graph.segments[step.name].seq)
+
+    segments = {name: graph.segments[name] for name in included}
+    links = [
+        lnk
+        for lnk in graph.links
+        if lnk.src.name in included and lnk.dst.name in included
+    ]
+
+    paths: Dict[str, Path] = {}
+    for path in graph.paths.values():
+        pos = 0
+        run_start: Optional[int] = None
+        run_pos = 0
+        for i, step in enumerate(path.steps + [None]):  # type: ignore[list-item]
+            inside = step is not None and step.name in included
+            if inside and run_start is None:
+                run_start, run_pos = i, pos
+            elif not inside and run_start is not None:
+                name = f"{path.name}:{run_pos}-{pos}"
+                paths[name] = Path(name, path.steps[run_start:i], None)
+                run_start = None
+            if step is not None:
+                pos += len(graph.segments[step.name].seq)
+
+    return Graph(graph.headers, segments, links, paths)
+
+
+# ---------------------------------------------------------------------------
 # Proof obligations (reference: slow_odgi proofs.py)
 # ---------------------------------------------------------------------------
 
