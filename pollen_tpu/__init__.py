@@ -21,4 +21,5 @@ Layers (bottom to top):
 
 __version__ = "0.1.0"
 
+from .api import FlatGFA, load, parse, parse_bytes  # noqa: F401
 from .flatgfa import GraphArrays, parse_gfa, parse_gfa_file  # noqa: F401

@@ -1,0 +1,302 @@
+"""Object-style Python API over the flat arena.
+
+Mirrors the reference's ``flatgfa-py`` surface (reference:
+flatgfa-py/flatgfa.pyi and src/lib.rs): ``parse`` / ``parse_bytes`` /
+``load`` build a :class:`FlatGFA` whose ``segments`` / ``paths`` /
+``links`` attributes are sliceable, iterable, find-able list views over
+the underlying arrays — no per-entity copies; ``sequence()`` is the
+only accessor that materializes data.
+
+>>> g = parse("graph.gfa")
+>>> g.paths[0].name, len(g.paths[0])
+>>> [h.segment.name for h in g.paths[0]]
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Union
+
+import numpy as np
+
+from . import flatgfa as _fg
+from .emit import emit_gfa
+from .fileformat import load_flatgfa, save_flatgfa
+
+
+class Segment:
+    def __init__(self, g: "FlatGFA", seg_id: int):
+        self._g = g
+        self.id = seg_id
+
+    @property
+    def name(self) -> int:
+        return int(self._g._a.seg_name[self.id])
+
+    def sequence(self) -> bytes:
+        return self._g._a.seg_sequence(self.id)
+
+    def __len__(self) -> int:
+        lo, hi = self._g._a.seg_seq[self.id]
+        return int(hi - lo)
+
+    def __repr__(self) -> str:
+        return f"<Segment {self.name}>"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Segment)
+            and other._g is self._g
+            and other.id == self.id
+        )
+
+    def __hash__(self) -> int:
+        return hash(("seg", id(self._g), self.id))
+
+
+class Handle:
+    def __init__(self, g: "FlatGFA", packed: int):
+        self._g = g
+        self._packed = int(packed)
+
+    @property
+    def seg_id(self) -> int:
+        return self._packed >> 1
+
+    @property
+    def segment(self) -> Segment:
+        return Segment(self._g, self.seg_id)
+
+    @property
+    def is_forward(self) -> bool:
+        return (self._packed & 1) == 0
+
+    def __repr__(self) -> str:
+        ori = "+" if self.is_forward else "-"
+        return f"<Handle {self.segment.name}{ori}>"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Handle)
+            and other._g is self._g
+            and other._packed == self._packed
+        )
+
+    def __hash__(self) -> int:
+        return hash(("handle", id(self._g), self._packed))
+
+
+class StepList:
+    """A (slice of a) path's steps."""
+
+    def __init__(self, g: "FlatGFA", lo: int, hi: int):
+        self._g = g
+        self._lo = lo
+        self._hi = hi
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    def __iter__(self) -> Iterator[Handle]:
+        steps = self._g._a.steps
+        for i in range(self._lo, self._hi):
+            yield Handle(self._g, int(steps[i]))
+
+    def __getitem__(self, idx: Union[int, slice]):
+        if isinstance(idx, slice):
+            lo, hi, stride = idx.indices(len(self))
+            if stride != 1:
+                raise ValueError("only unit-stride slices are supported")
+            return StepList(self._g, self._lo + lo, self._lo + hi)
+        if idx < 0:
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        return Handle(self._g, int(self._g._a.steps[self._lo + idx]))
+
+
+class Path:
+    def __init__(self, g: "FlatGFA", path_id: int):
+        self._g = g
+        self.id = path_id
+
+    @property
+    def name(self) -> bytes:
+        return self._g._a.path_name_bytes(self.id)
+
+    def _steps(self) -> StepList:
+        lo, hi = self._g._a.path_steps[self.id]
+        return StepList(self._g, int(lo), int(hi))
+
+    def __len__(self) -> int:
+        return len(self._steps())
+
+    def __iter__(self) -> Iterator[Handle]:
+        return iter(self._steps())
+
+    def __getitem__(self, idx):
+        return self._steps()[idx]
+
+    def __repr__(self) -> str:
+        return f"<Path {self.name.decode()}>"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Path)
+            and other._g is self._g
+            and other.id == self.id
+        )
+
+    def __hash__(self) -> int:
+        return hash(("path", id(self._g), self.id))
+
+
+class Link:
+    def __init__(self, g: "FlatGFA", link_id: int):
+        self._g = g
+        self.id = link_id
+
+    @property
+    def from_(self) -> Handle:
+        return Handle(self._g, int(self._g._a.link_from[self.id]))
+
+    @property
+    def to(self) -> Handle:
+        return Handle(self._g, int(self._g._a.link_to[self.id]))
+
+    def __repr__(self) -> str:
+        return f"<Link {self.from_!r} -> {self.to!r}>"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Link)
+            and other._g is self._g
+            and other.id == self.id
+        )
+
+    def __hash__(self) -> int:
+        return hash(("link", id(self._g), self.id))
+
+
+class _ListView:
+    _entity = None
+
+    def __init__(self, g: "FlatGFA", lo: int, hi: int):
+        self._g = g
+        self._lo = lo
+        self._hi = hi
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    def __iter__(self):
+        for i in range(self._lo, self._hi):
+            yield self._entity(self._g, i)
+
+    def __getitem__(self, idx: Union[int, slice]):
+        if isinstance(idx, slice):
+            lo, hi, stride = idx.indices(len(self))
+            if stride != 1:
+                raise ValueError("only unit-stride slices are supported")
+            return type(self)(self._g, self._lo + lo, self._lo + hi)
+        if idx < 0:
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        return self._entity(self._g, self._lo + idx)
+
+
+class SegmentList(_ListView):
+    _entity = Segment
+
+    def find(self, name: int) -> Optional[Segment]:
+        hits = np.flatnonzero(self._g._a.seg_name == name)
+        return Segment(self._g, int(hits[0])) if hits.size else None
+
+
+class PathList(_ListView):
+    _entity = Path
+
+    def find(self, name: bytes) -> Optional[Path]:
+        pid = self._g._a.path_id_by_name(name)
+        return Path(self._g, pid) if pid is not None else None
+
+
+class LinkList(_ListView):
+    _entity = Link
+
+
+class FlatGFA:
+    """A variation graph (object facade over :class:`GraphArrays`)."""
+
+    def __init__(self, arrays: _fg.GraphArrays):
+        self._a = arrays
+        self._dg = None
+
+    @property
+    def arrays(self) -> _fg.GraphArrays:
+        """The underlying flat arena (the tensor-facing interface)."""
+        return self._a
+
+    def device(self):
+        """The device-resident index (built lazily, cached)."""
+        if self._dg is None:
+            from .device import build_device_graph
+
+            self._dg = build_device_graph(self._a)
+        return self._dg
+
+    @property
+    def segments(self) -> SegmentList:
+        return SegmentList(self, 0, self._a.num_segments)
+
+    @property
+    def paths(self) -> PathList:
+        return PathList(self, 0, self._a.num_paths)
+
+    @property
+    def links(self) -> LinkList:
+        return LinkList(self, 0, self._a.num_links)
+
+    def __str__(self) -> str:
+        return emit_gfa(self._a, order="preserved")
+
+    def write_gfa(self, filename: str) -> None:
+        with open(filename, "w", encoding="ascii") as f:
+            f.write(emit_gfa(self._a, order="preserved"))
+
+    def write_flatgfa(self, filename: str) -> None:
+        save_flatgfa(filename, self._a)
+
+    def all_reads(self, gaf: str):
+        """Parse a GAF file against this graph (see ops/gaf.py)."""
+        from .ops.gaf import parse_gaf_file
+
+        return parse_gaf_file(gaf, self._a)
+
+    def print_gaf_lookup(self, gaf: str) -> None:
+        import sys
+
+        from .ops.gaf import parse_gaf_file, run_gaf_lookup
+
+        reads = parse_gaf_file(gaf, self._a)
+        sys.stdout.write(run_gaf_lookup(self._a, self.device(), reads))
+
+    def make_pangenotype_matrix(self, gaf_files: List[str]) -> List[List[bool]]:
+        from .ops.gaf import pangenotype_matrix
+
+        return pangenotype_matrix(self._a, gaf_files).tolist()
+
+
+def parse(filename: str) -> FlatGFA:
+    """Parse a GFA text file."""
+    return FlatGFA(_fg.parse_gfa_file(filename))
+
+
+def parse_bytes(gfa: bytes) -> FlatGFA:
+    """Parse GFA text from a byte string."""
+    return FlatGFA(_fg.parse_gfa(gfa))
+
+
+def load(filename: str) -> FlatGFA:
+    """mmap a binary FlatGFA file (zero-copy)."""
+    return FlatGFA(load_flatgfa(filename))

@@ -165,6 +165,15 @@ def build_parser() -> argparse.ArgumentParser:
     cmd = sub.add_parser("inject", help="add BED regions as new paths")
     cmd.add_argument("--bed", required=True)
 
+    cmd = sub.add_parser(
+        "seq-export", help="pack an ASCII nucleotide file"
+    )
+    cmd.add_argument("input")
+    cmd.add_argument("output")
+
+    cmd = sub.add_parser("seq-import", help="print a packed-seq file")
+    cmd.add_argument("filename")
+
     return parser
 
 
@@ -185,6 +194,19 @@ def _toc_text(g: GraphArrays, in_bytes: bool) -> str:
 def main(argv: Optional[List[str]] = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    # Sequence packing subcommands need no graph at all.
+    if args.command == "seq-export":
+        from .packedseq import seq_export
+
+        seq_export(args.input, args.output)
+        return
+    if args.command == "seq-import":
+        from .packedseq import seq_import
+
+        sys.stdout.write(seq_import(args.filename).decode() + "\n")
+        return
+
     g = _load(args)
 
     if args.command is None:
