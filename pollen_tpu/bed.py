@@ -84,6 +84,10 @@ def parse_bed(data: bytes) -> FlatBed:
     ends = np.concatenate((newlines, [buf.shape[0]]))
     keep = ends > starts
     starts, ends = starts[keep], ends[keep]
+    if starts.size:
+        # Skip comment/header lines (reference: flatbed.rs parse_line).
+        not_comment = buf[starts] != ord("#")
+        starts, ends = starts[not_comment], ends[not_comment]
     if starts.size == 0:
         return FlatBed(
             np.zeros(0, np.uint8),

@@ -47,24 +47,9 @@ def _store(args: argparse.Namespace, g: GraphArrays) -> bool:
 
 
 def _choose_platform(g: GraphArrays) -> None:
-    """Pick the JAX platform before backend init: accelerators pay off
-    only past a size threshold (compile + transfer latency dominates
-    small graphs). Override with POLLEN_DEVICE=cpu|tpu|axon or let an
-    initialized backend stand."""
-    import os
+    from .device import auto_platform
 
-    import jax
-
-    choice = os.environ.get("POLLEN_DEVICE")
-    if choice is None and g.num_steps < 4_000_000:
-        choice = "cpu"
-    if choice in ("tpu", "axon"):
-        return  # leave the environment's accelerator default in place
-    if choice:
-        try:
-            jax.config.update("jax_platforms", choice)
-        except Exception:
-            pass  # backend already initialized; keep it
+    auto_platform(g.num_steps)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -95,6 +95,24 @@ class DeviceGraph:
         return self.link_from.shape[0]
 
 
+def auto_platform(num_steps: int) -> None:
+    """Pick the JAX platform before backend init: accelerators pay off
+    only past a size threshold (compile + transfer latency dominates
+    small graphs). Override with POLLEN_DEVICE=cpu|tpu|axon; a no-op if
+    a backend is already initialized."""
+    import os
+
+    choice = os.environ.get("POLLEN_DEVICE")
+    if choice is None and num_steps < 4_000_000:
+        choice = "cpu"
+    if choice in (None, "tpu", "axon"):
+        return  # leave the environment's accelerator default in place
+    try:
+        jax.config.update("jax_platforms", choice)
+    except Exception:
+        pass  # backend already initialized; keep it
+
+
 def build_device_graph(
     g: GraphArrays, device=None, minimal: bool = False
 ) -> DeviceGraph:
