@@ -346,14 +346,26 @@ def _parse_cigar_pool(
     return pool, spans
 
 
-def parse_gfa(data: bytes) -> GraphArrays:
+def parse_gfa(data: bytes, native: bool = True) -> GraphArrays:
     """Parse GFA text into a :class:`GraphArrays` arena.
 
-    Vectorized two-pass build (semantics follow the reference parser,
-    reference: flatgfa/src/parse.rs:24-126): segments are ingested first
-    so that links and paths — which may reference segments defined later
-    in the file — resolve against the complete name table.
+    Tries the C++ single-pass scanner first (pollen_tpu/native), then
+    falls back to this vectorized two-pass NumPy build (semantics follow
+    the reference parser, reference: flatgfa/src/parse.rs:24-126):
+    segments are ingested first so that links and paths — which may
+    reference segments defined later in the file — resolve against the
+    complete name table.
     """
+    if native:
+        try:
+            from .native import parse_gfa_native
+
+            result = parse_gfa_native(data)
+            if result is not None:
+                return result
+        except Exception:
+            pass  # any native hiccup falls back to the NumPy path
+
     buf = np.frombuffer(data, dtype=np.uint8)
     starts, ends = _line_table(buf)
     kinds = buf[starts] if starts.size else np.zeros(0, np.uint8)

@@ -1,0 +1,63 @@
+"""Native C++ GFA scanner vs the NumPy parser: bit-identical pools."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pollen_tpu.flatgfa import parse_gfa
+from pollen_tpu.native import native_available, parse_gfa_native
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="C++ toolchain unavailable"
+)
+
+
+def assert_same(a, b):
+    assert b is not None
+    for f in dataclasses.fields(a):
+        va = np.asarray(getattr(a, f.name))
+        vb = np.asarray(getattr(b, f.name))
+        assert va.shape == vb.shape, f.name
+        assert (va == vb).all(), f.name
+
+
+def test_fixture_parity(graph_path):
+    data = graph_path.read_bytes()
+    assert_same(parse_gfa(data, native=False), parse_gfa_native(data))
+
+
+def test_random_parity():
+    from graphgen import big_step_graph, random_graph
+
+    for seed in range(3):
+        text = random_graph(seed=seed, n_segs=30, n_paths=5).encode()
+        assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
+    text = big_step_graph(500, 20_000, 8, seed=2).encode()
+    assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
+
+
+def test_overlap_columns_parity():
+    text = (
+        b"H\tVN:Z:1.0\nS\t1\tAA\nS\t2\tCC\n"
+        b"P\tp\t1+,2-\t2M,1M1D\nP\tq\t2+\t*\n"
+        b"L\t1\t+\t2\t-\t3M2N\nL\t2\t+\t1\t+\t*\n"
+    )
+    assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
+
+
+def test_out_of_order_parity():
+    text = b"L\t2\t+\t1\t-\t0M\nP\tp\t2+,1+\t*\nS\t1\tAA\nS\t2\tCC\n"
+    assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
+
+
+def test_sparse_names_parity():
+    text = b"S\t10\tAA\nS\t3\tCC\nS\t99\tGG\nP\tp\t99+,10-,3+\t*\n"
+    assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
+
+
+def test_native_rejects_fall_back():
+    # Unknown line kinds are a scanner error -> None (caller falls back
+    # to the NumPy parser for the real diagnostics).
+    assert parse_gfa_native(b"X\twat\n") is None
+    assert parse_gfa_native(b"S\tabc\tAA\n") is None  # non-integer name
