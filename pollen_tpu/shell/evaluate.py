@@ -127,6 +127,11 @@ def _eval_instr(env: Env, instr: ir.Instr) -> None:
         env.mmaps[out.index] = load_flatgfa(name)
     elif op == ir.PARSE_BED:
         env.beds[out.index] = parse_bed(env.read_bytes(instr.inputs[0]))
+    elif op == ir.PATHS:
+        g = env.graph(instr.inputs[0])
+        env.write_bytes(
+            out, b"".join(n + b"\n" for n in g.path_names())
+        )
     elif op == ir.NODE_DEPTH:
         g = env.graph(instr.inputs[0])
         env.write_bytes(

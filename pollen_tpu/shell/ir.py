@@ -60,6 +60,7 @@ class Instr:
 
 
 # Op names.
+PATHS = "paths"
 NODE_DEPTH = "node-depth"
 PATH_DEPTH = "path-depth"
 PATH_LENGTH = "path-length"

@@ -94,6 +94,11 @@ def _translate_odgi(
     if not args:
         raise ShellParseError("odgi: missing subcommand")
     sub = args.pop(0)
+    if sub == "paths":
+        if "-L" in args:
+            args.remove("-L")
+        prog.instr([gfa], dst, ir.PATHS)
+        return
     if sub != "depth":
         raise ShellParseError(f"unsupported odgi subcommand {sub!r}")
 
