@@ -92,8 +92,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     sub.add_parser("degree", help="per-segment degree table")
-    sub.add_parser("matrix", help="sparse matrix rendering")
+
+    cmd = sub.add_parser(
+        "matrix", help="pangenotype matrix from GAF files"
+    )
+    cmd.add_argument("gaf_files", nargs="+")
+
+    sub.add_parser("matrix-adj", help="sparse adjacency-matrix rendering")
     sub.add_parser("flatten", help="FASTA + BED rendering")
+
+    cmd = sub.add_parser("bench", help="micro-benchmarks")
+    cmd.add_argument("--wcl", help="count lines in a text file")
+    cmd.add_argument("-p", "--parallel", action="store_true")
     sub.add_parser("validate", help="check links support paths")
 
     cmd = sub.add_parser("position", help="locate a bp offset on a path")
@@ -191,6 +201,12 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         sys.stdout.write(seq_import(args.filename).decode() + "\n")
         return
+    if args.command == "bench":
+        if args.wcl:
+            from .ops.bench import line_count
+
+            print(line_count(args.wcl, args.parallel))
+        return
 
     g = _load(args)
 
@@ -211,7 +227,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         from .ops.validate import run_stats
 
         out.write(run_stats(g, self_loops=args.self_loops))
-    elif args.command == "matrix":
+    elif args.command == "matrix-adj":
         from .ops.matrix import run_matrix
 
         out.write(run_matrix(g))
@@ -231,7 +247,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                 parse_bed_file(args.bed_a), parse_bed_file(args.bed_b)
             )
         )
-    elif args.command == "pangenotype":
+    elif args.command in ("pangenotype", "matrix"):
         from .ops.gaf import run_pangenotype
 
         out.write(run_pangenotype(g, args.gaf_files))

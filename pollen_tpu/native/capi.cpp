@@ -6,8 +6,7 @@
 // returned as pointer + length (not NUL-terminated).
 //
 // Build (with the scanner in the same library):
-//   g++ -O3 -shared -fPIC -std=c++17 -o libpollen_capi.so \
-//       capi.cpp gfa_scan.cpp
+//   g++ -O3 -shared -fPIC -std=c++17 -o libpollen_capi.so capi.cpp gfa_scan.cpp
 
 #include <cstdint>
 #include <cstdio>
