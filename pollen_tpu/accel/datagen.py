@@ -125,7 +125,7 @@ def depth_table_from_outputs(depth: np.ndarray, uniq: np.ndarray) -> str:
 
 def graph_json(g: GraphArrays) -> str:
     """A generic, round-trippable JSON rendering of the whole graph."""
-    from ..emit import link_lines, path_lines, segment_lines
+    from ..emit import link_lines, path_lines
 
     obj = {
         "headers": [g.header.tobytes().decode()] if g.header.size else [],

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
 
 import jax
 
@@ -51,6 +50,9 @@ from .flatgfa import GraphArrays
         "step_path_sorted",
         "seg_bounds",
         "run_start",
+        "run_path",
+        "run_count",
+        "run_seg_bounds",
         "link_seg_bounds",
         "link_seg_weights",
     ],
@@ -73,6 +75,13 @@ class DeviceGraph:
     step_path_sorted: jax.Array  # int32[S]
     seg_bounds: jax.Array  # int32[N+1]
     run_start: jax.Array  # int32[S]
+
+    # Run-level index: one entry per (segment, path) group. Masked
+    # depth queries over runs touch R <= S elements — the sort already
+    # collapsed duplicate (segment, path) pairs.
+    run_path: jax.Array  # int32[R]
+    run_count: jax.Array  # int32[R]
+    run_seg_bounds: jax.Array  # int32[N+1]
 
     # Link-endpoint histogram index (for degree): endpoints sorted by seg.
     link_seg_bounds: jax.Array  # int32[N+1]
@@ -137,7 +146,7 @@ def build_device_graph(
         seg_sorted, np.arange(n + 1, dtype=np.int64)
     ).astype(np.int32)
 
-    # (segment, path) group starts.
+    # (segment, path) group starts + the run-level index.
     if s:
         new_run = np.empty(s, dtype=bool)
         new_run[0] = True
@@ -147,8 +156,18 @@ def build_device_graph(
         run_idx = np.cumsum(new_run) - 1
         starts = np.flatnonzero(new_run).astype(np.int32)
         run_start = starts[run_idx]
+        run_path = path_sorted[starts]
+        run_count = np.diff(
+            np.concatenate([starts, [s]])
+        ).astype(np.int32)
+        run_seg_bounds = np.searchsorted(
+            seg_sorted[starts], np.arange(n + 1, dtype=np.int64)
+        ).astype(np.int32)
     else:
         run_start = np.zeros(0, dtype=np.int32)
+        run_path = np.zeros(0, dtype=np.int32)
+        run_count = np.zeros(0, dtype=np.int32)
+        run_seg_bounds = np.zeros(n + 1, dtype=np.int32)
 
     # Pad the sorted index to the Pallas block size: pad entries use a
     # sentinel path id (= p, masked to 0) and are their own group, and
@@ -193,6 +212,9 @@ def build_device_graph(
         step_path_sorted=put(jnp.asarray(path_sorted)),
         seg_bounds=put(jnp.asarray(seg_bounds)),
         run_start=put(jnp.asarray(run_start)),
+        run_path=put(jnp.asarray(run_path)) if not minimal else empty32,
+        run_count=put(jnp.asarray(run_count)) if not minimal else empty32,
+        run_seg_bounds=put(jnp.asarray(run_seg_bounds)),
         link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
         link_seg_weights=put(
             jnp.ones(endpoints.shape[0], dtype=jnp.int32)

@@ -10,7 +10,6 @@ endpoint-sorted index built at ingest.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..device import DeviceGraph, bounded_segment_sum

@@ -56,6 +56,20 @@ def seg_depth_with_uniq_masked(
 
 
 @jax.jit
+def seg_depth_with_uniq_runs(
+    dg: DeviceGraph, path_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) over the run-level index: O(R) work where R
+    is the number of distinct (segment, path) pairs — the ingest sort
+    already collapsed duplicates, so uniq needs no first-occurrence
+    logic at all."""
+    w = _extend_mask(path_mask)[dg.run_path]
+    depth = bounded_segment_sum(w * dg.run_count, dg.run_seg_bounds)
+    uniq = bounded_segment_sum(w, dg.run_seg_bounds)
+    return depth, uniq
+
+
+@jax.jit
 def seg_depth_with_uniq_fused(
     dg: DeviceGraph, path_mask: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -156,7 +170,9 @@ def run_seg_depth(
         depth, uniq = seg_depth_with_uniq(dg)
     else:
         mask = jnp.asarray(path_mask_for(g, subset_paths))
-        if jax.default_backend() not in ("cpu",):
+        if dg.run_path.shape[0]:
+            depth, uniq = seg_depth_with_uniq_runs(dg, mask)
+        elif jax.default_backend() not in ("cpu",):
             depth, uniq = seg_depth_with_uniq_fused(dg, mask)
         else:
             depth, uniq = seg_depth_with_uniq_masked(dg, mask)

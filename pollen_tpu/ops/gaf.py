@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..device import DeviceGraph, bounded_segment_sum
+from ..device import DeviceGraph
 from ..flatgfa import GraphArrays, NameIndex, parse_uints, ragged_gather
 
 _NEWLINE = 10

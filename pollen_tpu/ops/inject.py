@@ -12,12 +12,12 @@ loop is per BED record (query sets are small).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..bed import FlatBed
-from ..flatgfa import GraphArrays, ragged_gather
+from ..flatgfa import GraphArrays
 from .transform import _fresh_line_order
 
 

@@ -10,8 +10,6 @@ order exactly (the 4-digit float formatting is sensitive to it).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..bed import FlatBed, windows_bed

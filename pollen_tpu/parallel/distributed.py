@@ -21,7 +21,6 @@ from typing import Optional
 import jax
 
 from ..device import build_device_graph
-from ..flatgfa import GraphArrays
 from . import loader
 from .sharded import ShardedGraph, make_mesh, shard_device_graph
 

@@ -16,7 +16,6 @@ from typing import Dict, List, Optional, TextIO, Tuple
 
 from .model import (
     Bed,
-    Cigar,
     Graph,
     Handle,
     Link,

@@ -85,3 +85,17 @@ def test_format_float():
     assert f(2.504, 2) == "2.5"
     assert f(2.505, 2) == "2.51" or f(2.505, 2) == "2.5"  # banker's edge
     assert f(0.0, 2) == "0"
+
+
+def test_runs_variant_matches_masked(graph_path, arena):
+    """The O(R) run-level masked depth equals the O(S) pipelines."""
+    import jax.numpy as jnp
+
+    g, dg = arena
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        d_r, u_r = depth_op.seg_depth_with_uniq_runs(dg, jnp.asarray(mask))
+        d_s, u_s = depth_op.seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_s))
+        np.testing.assert_array_equal(np.asarray(u_r), np.asarray(u_s))
