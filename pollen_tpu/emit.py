@@ -79,40 +79,82 @@ def segment_lines(g: GraphArrays) -> np.ndarray:
     return lines
 
 
+def _step_token_blob(g: GraphArrays) -> tuple:
+    """All step tokens ("12+,34-,...") as one string plus per-token end
+    offsets — a vectorized itoa (numpy's int->str astype is ~20x
+    slower than digit-scatter passes at this scale)."""
+    names = g.seg_name[g.step_segs]
+    s = names.shape[0]
+    # Digit counts via thresholds (names are positive integers).
+    ndig = np.ones(s, dtype=np.int64)
+    limit = 10
+    while (names >= limit).any():
+        ndig += names >= limit
+        limit *= 10
+    tok_len = ndig + 2  # orientation char + comma
+    ends = np.cumsum(tok_len)
+    buf = np.empty(int(ends[-1]), dtype=np.uint8)
+
+    # Scatter digits, least significant first, right-aligned.
+    digit_pos = ends - 3  # position of the last digit
+    vals = names.copy()
+    k = 0
+    while True:
+        live = ndig > k
+        if not live.any():
+            break
+        buf[digit_pos[live] - k] = (vals[live] % 10 + 48).astype(np.uint8)
+        vals //= 10
+        k += 1
+    buf[ends - 2] = np.where(g.step_reverse.astype(bool), ord("-"), ord("+"))
+    buf[ends - 1] = ord(",")
+    return buf.tobytes().decode("ascii"), np.concatenate(([0], ends))
+
+
 def path_lines(g: GraphArrays) -> List[str]:
-    """All P lines, in id order."""
+    """All P lines, in id order.
+
+    Step tokens are rendered vectorized into one blob and sliced per
+    path by character offset — no per-step Python work.
+    """
     if g.num_paths == 0:
         return []
-    # Render every step token once, vectorized, then slice per path.
-    seg_names = g.seg_name[g.step_segs].astype("U20")
-    oris = np.where(g.step_reverse.astype(bool), "-", "+")
-    tokens = np.char.add(seg_names, oris)
+    blob, char_ends = _step_token_blob(g)
     olaps = _cigar_strs(g, g.path_overlaps, empty="*")
     lines = []
     for p in range(g.num_paths):
         lo, hi = g.path_steps[p]
+        # Drop the trailing comma of the path's last token.
+        steps_str = blob[char_ends[lo] : char_ends[hi] - 1] if hi > lo else ""
         name = g.path_name_bytes(p).decode("ascii")
-        lines.append(
-            "P\t" + name + "\t" + ",".join(tokens[lo:hi]) + "\t" + olaps[p]
-        )
+        lines.append("P\t" + name + "\t" + steps_str + "\t" + olaps[p])
     return lines
+
+
+def _assemble_l_lines(
+    from_handles: np.ndarray, to_handles: np.ndarray, g: GraphArrays, cigars
+) -> List[str]:
+    """Vectorized "L\\t..\\t..\\t..\\t..\\t.." assembly."""
+    parts = [
+        np.full(from_handles.shape[0], "L\t", dtype="U2"),
+        g.seg_name[(from_handles >> 1).astype(np.int64)].astype("U20"),
+        np.where((from_handles & 1).astype(bool), "\t-\t", "\t+\t"),
+        g.seg_name[(to_handles >> 1).astype(np.int64)].astype("U20"),
+        np.where((to_handles & 1).astype(bool), "\t-\t", "\t+\t"),
+        np.asarray(cigars, dtype="U"),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = np.char.add(out, part)
+    return out.tolist()
 
 
 def link_lines(g: GraphArrays) -> List[str]:
     """All L lines, in id order."""
     if g.num_links == 0:
         return []
-    from_names = g.seg_name[(g.link_from >> 1).astype(np.int64)].astype("U20")
-    to_names = g.seg_name[(g.link_to >> 1).astype(np.int64)].astype("U20")
-    from_ori = np.where((g.link_from & 1).astype(bool), "-", "+")
-    to_ori = np.where((g.link_to & 1).astype(bool), "-", "+")
     cigars = _cigar_strs(g, g.link_overlap, empty="0M")
-    return [
-        f"L\t{fn}\t{fo}\t{tn}\t{to}\t{cg}"
-        for fn, fo, tn, to, cg in zip(
-            from_names, from_ori, to_names, to_ori, cigars
-        )
-    ]
+    return _assemble_l_lines(g.link_from, g.link_to, g, cigars)
 
 
 def emit_gfa(
@@ -183,12 +225,5 @@ def _canonical_link_lines(g: GraphArrays) -> List[str]:
 
     c_from = np.where(flip, g.link_to ^ 1, g.link_from)
     c_to = np.where(flip, g.link_from ^ 1, g.link_to)
-    cfn = g.seg_name[(c_from >> 1).astype(np.int64)].astype("U20")
-    ctn = g.seg_name[(c_to >> 1).astype(np.int64)].astype("U20")
-    cfo = np.where((c_from & 1).astype(bool), "-", "+")
-    cto = np.where((c_to & 1).astype(bool), "-", "+")
     cigars = _cigar_strs(g, g.link_overlap, empty="0M")
-    return [
-        f"L\t{a}\t{b}\t{c}\t{d}\t{e}"
-        for a, b, c, d, e in zip(cfn, cfo, ctn, cto, cigars)
-    ]
+    return _assemble_l_lines(c_from, c_to, g, cigars)

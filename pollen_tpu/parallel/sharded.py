@@ -205,6 +205,52 @@ def sharded_seg_depth_fn(
     return query
 
 
+def sharded_degree_fn(mesh: Mesh):
+    """Mesh-wide degree: link-endpoint chunks sharded, boundary table
+    replicated, partial histograms merged with psum."""
+
+    @jax.jit
+    def query(weights: jax.Array, chunk_starts: jax.Array, bounds: jax.Array):
+        def worker(w, chunk_starts, bounds):
+            idx = jax.lax.axis_index(STEP_AXES)
+            chunk_start = chunk_starts[idx]
+            c_size = w.shape[0]
+            csum = jnp.cumsum(w)
+            padded = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            lo = jnp.clip(bounds[:-1] - chunk_start, 0, c_size)
+            hi = jnp.clip(bounds[1:] - chunk_start, 0, c_size)
+            return jax.lax.psum(padded[hi] - padded[lo], STEP_AXES)
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(STEP_AXES), P(), P()),
+            out_specs=P(),
+        )(weights, chunk_starts, bounds)
+
+    return query
+
+
+def shard_degree_inputs(dg: DeviceGraph, mesh: Mesh):
+    """(sharded endpoint weights, chunk starts, replicated bounds)."""
+    n_dev = mesh.size
+    total = int(dg.link_seg_bounds[-1])
+    pad = -(-max(total, 1) // n_dev) * n_dev - total
+    weights = np.concatenate(
+        [np.ones(total, np.int32), np.zeros(pad, np.int32)]
+    )
+    chunk = weights.shape[0] // n_dev
+    step_sharding = NamedSharding(mesh, P(STEP_AXES))
+    repl = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(weights), step_sharding),
+        jax.device_put(
+            jnp.arange(n_dev, dtype=jnp.int32) * chunk, repl
+        ),
+        jax.device_put(dg.link_seg_bounds, repl),
+    )
+
+
 def full_mask(num_paths: int) -> jax.Array:
     """An all-paths mask (with the padding sentinel zeroed)."""
     return jnp.concatenate(

@@ -71,3 +71,19 @@ def test_sharded_uniq_straddling_groups(mesh):
     depth_m, uniq_m = query(sg, full_mask(dg.num_paths))
     assert np.asarray(depth_m).tolist() == [65, 1]
     assert np.asarray(uniq_m).tolist() == [2, 1]
+
+
+def test_sharded_degree_matches_single(graph_path, mesh):
+    from pollen_tpu.ops.degree import seg_degree
+    from pollen_tpu.parallel.sharded import (
+        shard_degree_inputs,
+        sharded_degree_fn,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    weights, chunk_starts, bounds = shard_degree_inputs(dg, mesh)
+    deg_m = sharded_degree_fn(mesh)(weights, chunk_starts, bounds)
+    np.testing.assert_array_equal(
+        np.asarray(deg_m), np.asarray(seg_degree(dg))
+    )
