@@ -96,7 +96,8 @@ class DeviceGraph:
 
     @property
     def padded_steps(self) -> int:
-        """Length of the padded sorted index (multiple of 4096)."""
+        """Length of the padded sorted index (multiple of the Pallas
+        block size, kernels.segscan.BLOCK)."""
         return self.step_path_sorted.shape[0]
 
     @property
@@ -172,7 +173,7 @@ def build_device_graph(
     # Pad the sorted index to the Pallas block size: pad entries use a
     # sentinel path id (= p, masked to 0) and are their own group, and
     # they sit beyond seg_bounds[n] so boundary diffs never see them.
-    blk = 4096
+    from .kernels.segscan import BLOCK as blk
     s_pad = -(-max(s, 1) // blk) * blk
     path_sorted = np.concatenate(
         [path_sorted, np.full(s_pad - s, p, np.int32)]

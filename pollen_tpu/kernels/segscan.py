@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 LANES = 128
-ROWS = 32  # steps per block = ROWS * LANES = 4096
+ROWS = 64  # steps per block = ROWS * LANES (tuned on v5e; see BLOCK)
+BLOCK = ROWS * LANES
 
 
 def pallas_available() -> bool:
@@ -206,7 +207,7 @@ def masked_depth_cumsums(
 
     s = path_sorted.shape[0]
     t = ROWS * LANES
-    assert s % t == 0, "pad the step list to a multiple of 4096"
+    assert s % t == 0, f"pad the step list to a multiple of {BLOCK}"
     assert mask.shape[0] % LANES == 0, "pad the mask to a multiple of 128"
     shape2d = (s // LANES, LANES)
 

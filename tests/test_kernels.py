@@ -56,8 +56,10 @@ def test_kernel_matches_bruteforce(seed, p):
 
 
 def test_kernel_group_spans_blocks():
-    """One (segment, path) group spanning multiple 4096-step blocks."""
-    s = 3 * 4096
+    """One (segment, path) group spanning multiple Pallas blocks."""
+    from pollen_tpu.kernels.segscan import BLOCK
+
+    s = 3 * BLOCK
     path = np.zeros(s, np.int32)
     run_start = np.zeros(s, np.int32)
     bounds = np.array([0, s], np.int32)
