@@ -187,6 +187,18 @@ def _toc_text(g: GraphArrays, in_bytes: bool) -> str:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    try:
+        _main(argv)
+    except BrokenPipeError:
+        raise SystemExit(0)
+    except (OSError, ValueError, KeyError) as exc:
+        # User-facing failures (bad files, malformed input, unknown
+        # names) get one clean line, not a traceback.
+        print(f"fgfa-tpu: error: {exc}", file=sys.stderr)
+        raise SystemExit(1)
+
+
+def _main(argv: Optional[List[str]] = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
 

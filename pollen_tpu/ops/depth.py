@@ -92,6 +92,23 @@ def seg_depth_with_uniq_fused(
 
 
 @jax.jit
+def seg_depth_with_uniq_batch(
+    dg: DeviceGraph, path_masks: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Many subset-depth queries at once: ``path_masks`` is bool[Q, P],
+    returns (depth, uniq) of shape int32[Q, N].
+
+    Batching is a vmap over the run-level kernel — Q queries share one
+    pass over the run index, so amortized cost per query approaches the
+    boundary-diff stage alone. This is the shape production serving
+    wants: one resident graph, a stream of subset queries.
+    """
+    return jax.vmap(seg_depth_with_uniq_runs, in_axes=(None, 0))(
+        dg, path_masks
+    )
+
+
+@jax.jit
 def path_depth(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
     """(bp length, bp-weighted depth sum) per path.
 

@@ -130,7 +130,13 @@ def main() -> None:
     if not args.command:
         parser.print_help()
         raise SystemExit(1)
-    run(args, sys.stdout)
+    try:
+        run(args, sys.stdout)
+    except BrokenPipeError:
+        raise SystemExit(0)
+    except (OSError, ValueError, KeyError) as exc:
+        print(f"pollen-spec: error: {exc}", file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -99,3 +99,18 @@ def test_runs_variant_matches_masked(graph_path, arena):
         d_s, u_s = depth_op.seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
         np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_s))
         np.testing.assert_array_equal(np.asarray(u_r), np.asarray(u_s))
+
+
+def test_batched_queries(graph_path, arena):
+    import jax.numpy as jnp
+
+    g, dg = arena
+    rng = np.random.default_rng(9)
+    masks = rng.integers(0, 2, (5, dg.num_paths)).astype(bool)
+    d_b, u_b = depth_op.seg_depth_with_uniq_batch(dg, jnp.asarray(masks))
+    for q in range(5):
+        d, u = depth_op.seg_depth_with_uniq_masked(
+            dg, jnp.asarray(masks[q])
+        )
+        np.testing.assert_array_equal(np.asarray(d_b)[q], np.asarray(d))
+        np.testing.assert_array_equal(np.asarray(u_b)[q], np.asarray(u))
