@@ -170,6 +170,18 @@ def emit_gfa(
     *original*, pre-rename names). ``include_links=False`` omits L lines
     (the spec emits chop/inject results linkless).
     """
+    if order == "preserved":
+        # Fast path: the C++ emitter (byte-identical; falls through to
+        # the Python path if the native library is unavailable).
+        try:
+            from .native import emit_gfa_native
+
+            text = emit_gfa_native(g)
+            if text is not None:
+                return text
+        except Exception:
+            pass
+
     header = (
         ["H\t" + g.header.tobytes().decode("ascii")] if g.header.size else []
     )

@@ -103,6 +103,12 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gfa_parse.restype = ctypes.c_int
     lib.gfa_free.argtypes = [ctypes.POINTER(_GfaOut)]
+    lib.gfa_emit.argtypes = [
+        ctypes.POINTER(_GfaOut),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.gfa_emit.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.gfa_text_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return lib
 
@@ -115,6 +121,66 @@ def _arr(ptr, count, dtype):
     if count == 0:
         return np.zeros(0, dtype=dtype)
     return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
+
+
+def _fill_struct(out, g) -> list:
+    """Populate a _GfaOut with pointers into (contiguous copies of) a
+    GraphArrays' pools; returns the keep-alive list."""
+    keep = []
+
+    def ptr(arr, dtype, ctype):
+        a = np.ascontiguousarray(arr, dtype=dtype).reshape(-1)
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+    out.n_segs = g.num_segments
+    out.seg_name = ptr(g.seg_name, np.int64, ctypes.c_int64)
+    out.seg_seq = ptr(g.seg_seq, np.uint32, ctypes.c_uint32)
+    out.seg_opt = ptr(g.seg_optional, np.uint32, ctypes.c_uint32)
+    out.n_paths = g.num_paths
+    out.path_name = ptr(g.path_name, np.uint32, ctypes.c_uint32)
+    out.path_steps = ptr(g.path_steps, np.uint32, ctypes.c_uint32)
+    out.path_olaps = ptr(g.path_overlaps, np.uint32, ctypes.c_uint32)
+    out.n_links = g.num_links
+    out.link_from = ptr(g.link_from, np.uint32, ctypes.c_uint32)
+    out.link_to = ptr(g.link_to, np.uint32, ctypes.c_uint32)
+    out.link_olap = ptr(g.link_overlap, np.uint32, ctypes.c_uint32)
+    out.n_steps = g.num_steps
+    out.steps = ptr(g.steps, np.uint32, ctypes.c_uint32)
+    out.n_seq = g.seq_data.shape[0]
+    out.seq_data = ptr(g.seq_data, np.uint8, ctypes.c_uint8)
+    out.n_overlaps = g.overlaps.shape[0]
+    out.overlaps = ptr(g.overlaps, np.uint32, ctypes.c_uint32)
+    out.n_align = g.alignment.shape[0]
+    out.alignment = ptr(g.alignment, np.uint32, ctypes.c_uint32)
+    out.n_name_data = g.name_data.shape[0]
+    out.name_data = ptr(g.name_data, np.uint8, ctypes.c_uint8)
+    out.n_opt_data = g.optional_data.shape[0]
+    out.opt_data = ptr(g.optional_data, np.uint8, ctypes.c_uint8)
+    out.n_lines = g.line_order.shape[0]
+    out.line_order = ptr(g.line_order, np.uint8, ctypes.c_uint8)
+    out.n_header = g.header.shape[0]
+    out.header = ptr(g.header, np.uint8, ctypes.c_uint8)
+    return keep
+
+
+def emit_gfa_native(g) -> Optional[str]:
+    """Render preserved-order GFA text with the C++ emitter; None means
+    "fall back to the Python emitter"."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = _GfaOut()
+    keep = _fill_struct(out, g)
+    size = ctypes.c_uint64()
+    buf = lib.gfa_emit(ctypes.byref(out), ctypes.byref(size))
+    del keep
+    if not buf:
+        return None
+    try:
+        return ctypes.string_at(buf, size.value).decode("ascii")
+    finally:
+        lib.gfa_text_free(buf)
 
 
 def parse_gfa_native(data: bytes):

@@ -402,3 +402,139 @@ void gfa_free(GfaOut *out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Emitter: pools -> GFA text (preserved line order).
+//
+// Native counterpart of pollen_tpu/emit.py::emit_gfa(order="preserved");
+// a parse -> emit round trip through this pair is byte-identical.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void put_u64(std::vector<uint8_t> *out, int64_t v) {
+  char tmp[24];
+  int n = 0;
+  if (v == 0) {
+    tmp[n++] = '0';
+  } else {
+    while (v > 0) {
+      tmp[n++] = static_cast<char>('0' + v % 10);
+      v /= 10;
+    }
+  }
+  while (n > 0) out->push_back(static_cast<uint8_t>(tmp[--n]));
+}
+
+inline void put_bytes(std::vector<uint8_t> *out, const uint8_t *p, size_t n) {
+  out->insert(out->end(), p, p + n);
+}
+
+// Append one CIGAR rendering for the overlap-pool entry range
+// [e_lo, e_hi); `empty` is used when the range has no entries.
+void put_cigars(std::vector<uint8_t> *out, const GfaOut &g, uint32_t e_lo,
+                uint32_t e_hi, const char *empty) {
+  static const char kOps[] = "MNDI";
+  if (e_lo >= e_hi) {
+    while (*empty) out->push_back(static_cast<uint8_t>(*empty++));
+    return;
+  }
+  for (uint32_t e = e_lo; e < e_hi; ++e) {
+    if (e > e_lo) out->push_back(',');
+    uint32_t a_lo = g.overlaps[e * 2], a_hi = g.overlaps[e * 2 + 1];
+    if (a_lo == a_hi) {
+      out->push_back('0');
+      out->push_back('M');
+      continue;
+    }
+    for (uint32_t a = a_lo; a < a_hi; ++a) {
+      uint32_t op = g.alignment[a];
+      put_u64(out, op >> 8);
+      out->push_back(static_cast<uint8_t>(kOps[op & 0xff]));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Render the arena as GFA text in preserved line order. The returned
+// buffer is malloc'd; the caller frees it with gfa_text_free.
+uint8_t *gfa_emit(const GfaOut *g, uint64_t *out_len) {
+  std::vector<uint8_t> out;
+  // Rough reservation: sequence bytes + ~24 bytes/line of structure.
+  out.reserve(g->n_seq + g->n_name_data +
+              24 * (g->n_segs + g->n_links + g->n_lines) + 8 * g->n_steps);
+
+  uint64_t si = 0, pi = 0, li = 0;
+  for (uint64_t i = 0; i < g->n_lines; ++i) {
+    switch (g->line_order[i]) {
+      case 0:  // header
+        put_bytes(&out, reinterpret_cast<const uint8_t *>("H\t"), 2);
+        put_bytes(&out, g->header, g->n_header);
+        break;
+      case 1: {  // segment
+        const uint64_t s = si++;
+        put_bytes(&out, reinterpret_cast<const uint8_t *>("S\t"), 2);
+        put_u64(&out, g->seg_name[s]);
+        out.push_back('\t');
+        put_bytes(&out, g->seq_data + g->seg_seq[s * 2],
+                  g->seg_seq[s * 2 + 1] - g->seg_seq[s * 2]);
+        uint32_t o_lo = g->seg_opt[s * 2], o_hi = g->seg_opt[s * 2 + 1];
+        if (o_hi > o_lo) {
+          out.push_back('\t');
+          put_bytes(&out, g->opt_data + o_lo, o_hi - o_lo);
+        }
+        break;
+      }
+      case 2: {  // path
+        const uint64_t p = pi++;
+        put_bytes(&out, reinterpret_cast<const uint8_t *>("P\t"), 2);
+        put_bytes(&out, g->name_data + g->path_name[p * 2],
+                  g->path_name[p * 2 + 1] - g->path_name[p * 2]);
+        out.push_back('\t');
+        uint32_t lo = g->path_steps[p * 2], hi = g->path_steps[p * 2 + 1];
+        for (uint32_t s = lo; s < hi; ++s) {
+          if (s > lo) out.push_back(',');
+          uint32_t h = g->steps[s];
+          put_u64(&out, g->seg_name[h >> 1]);
+          out.push_back((h & 1) ? '-' : '+');
+        }
+        out.push_back('\t');
+        put_cigars(&out, *g, g->path_olaps[p * 2], g->path_olaps[p * 2 + 1],
+                   "*");
+        break;
+      }
+      case 3: {  // link
+        const uint64_t l = li++;
+        put_bytes(&out, reinterpret_cast<const uint8_t *>("L\t"), 2);
+        uint32_t f = g->link_from[l], t = g->link_to[l];
+        put_u64(&out, g->seg_name[f >> 1]);
+        out.push_back('\t');
+        out.push_back((f & 1) ? '-' : '+');
+        out.push_back('\t');
+        put_u64(&out, g->seg_name[t >> 1]);
+        out.push_back('\t');
+        out.push_back((t & 1) ? '-' : '+');
+        out.push_back('\t');
+        put_cigars(&out, *g, g->link_olap[l * 2], g->link_olap[l * 2 + 1],
+                   "0M");
+        break;
+      }
+      default:
+        *out_len = 0;
+        return nullptr;
+    }
+    out.push_back('\n');
+  }
+
+  uint8_t *buf = static_cast<uint8_t *>(malloc(out.size() + 1));
+  memcpy(buf, out.data(), out.size());
+  *out_len = out.size();
+  return buf;
+}
+
+void gfa_text_free(uint8_t *buf) { free(buf); }
+
+}  // extern "C"
