@@ -78,6 +78,17 @@ class FlatBed:
 
 def parse_bed(data: bytes) -> FlatBed:
     """Parse BED text (name, start, end; extra columns ignored)."""
+    from .flatgfa import GFAParseError
+
+    try:
+        return _parse_bed(data)
+    except GFAParseError:
+        raise
+    except (ValueError, IndexError) as exc:
+        raise GFAParseError(f"malformed BED structure: {exc}") from exc
+
+
+def _parse_bed(data: bytes) -> FlatBed:
     buf = np.frombuffer(data, dtype=np.uint8)
     newlines = np.flatnonzero(buf == _NEWLINE)
     starts = np.concatenate(([0], newlines + 1))

@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
     cmd.add_argument("gaf_file")
     cmd.add_argument("-s", "--seqs", action="store_true")
     cmd.add_argument("-b", "--bench", action="store_true")
+    cmd.add_argument(
+        "-p",
+        "--parallel",
+        action="store_true",
+        help="accepted for fgfa compatibility; the chunker is always "
+        "batched-parallel here",
+    )
 
     cmd = sub.add_parser("bed", help="intersect two BED files")
     cmd.add_argument("-a", dest="bed_a", required=True)

@@ -366,6 +366,17 @@ def parse_gfa(data: bytes, native: bool = True) -> GraphArrays:
         except Exception:
             pass  # any native hiccup falls back to the NumPy path
 
+    try:
+        return _parse_gfa_numpy(data)
+    except GFAParseError:
+        raise
+    except (ValueError, IndexError) as exc:
+        # Malformed field structure trips array shape checks before the
+        # explicit validations do; surface it as a parse error.
+        raise GFAParseError(f"malformed GFA structure: {exc}") from exc
+
+
+def _parse_gfa_numpy(data: bytes) -> GraphArrays:
     buf = np.frombuffer(data, dtype=np.uint8)
     starts, ends = _line_table(buf)
     kinds = buf[starts] if starts.size else np.zeros(0, np.uint8)

@@ -18,8 +18,9 @@ from ..flatgfa import GraphArrays
 
 @jax.jit
 def seg_degree(dg: DeviceGraph) -> jax.Array:
-    """Degree per segment: int32[N]."""
-    return bounded_segment_sum(dg.link_seg_weights, dg.link_seg_bounds)
+    """Degree per segment: int32[N] — a boundary difference over the
+    endpoint histogram built at ingest."""
+    return dg.link_seg_bounds[1:] - dg.link_seg_bounds[:-1]
 
 
 def degree_table(g: GraphArrays, degrees: np.ndarray) -> str:

@@ -24,14 +24,21 @@ from ..flatgfa import GraphArrays
 
 @jax.jit
 def seg_depth_with_uniq(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
-    """(depth, unique depth) per segment, over all paths."""
-    ones = jnp.ones(dg.padded_steps, dtype=jnp.int32)
-    depth = bounded_segment_sum(ones, dg.seg_bounds)
-    # With all-ones weights, the first step of every (segment, path)
-    # group is exactly the group's start position.
-    pos = jnp.arange(dg.padded_steps, dtype=jnp.int32)
-    first = (pos == dg.run_start).astype(jnp.int32)
-    uniq = bounded_segment_sum(first, dg.seg_bounds)
+    """(depth, unique depth) per segment, over all paths.
+
+    The all-paths answer is already encoded in the ingest index:
+    depth is each segment's run length in sorted order, and uniq is its
+    number of (segment, path) groups. Both are boundary differences —
+    no per-step work at query time. (An all-ones cumsum here would also
+    trip XLA's constant folder into a multi-second compile.)
+    """
+    depth = dg.seg_bounds[1:] - dg.seg_bounds[:-1]
+    if dg.run_seg_bounds.shape[0] == dg.num_segments + 1:
+        uniq = dg.run_seg_bounds[1:] - dg.run_seg_bounds[:-1]
+    else:  # minimal-mode graphs: derive from group-start flags
+        pos = jnp.arange(dg.padded_steps, dtype=jnp.int32)
+        first = (pos == dg.run_start).astype(jnp.int32)
+        uniq = bounded_segment_sum(first, dg.seg_bounds)
     return depth, uniq
 
 
