@@ -52,6 +52,17 @@ def _choose_platform(g: GraphArrays) -> None:
     auto_platform(g.num_steps)
 
 
+def _emit_transform(args, out, arena: GraphArrays, **emit_kw) -> None:
+    """Write a transform result: in place into the -i binary under -m,
+    otherwise as GFA text."""
+    if args.mutate and args.input:
+        from .fileformat import update_in_place
+
+        update_in_place(args.input, arena)
+    else:
+        out.write(emit_gfa(arena, **emit_kw))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="fgfa-tpu")
     parser.add_argument("-i", "--input", help="read a binary FlatGFA file")
@@ -64,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         help="spare-capacity fraction for binary output",
+    )
+    parser.add_argument(
+        "-m",
+        "--mutate",
+        action="store_true",
+        help="write a transform's result back into the -i binary in place",
     )
     sub = parser.add_subparsers(dest="command", metavar="COMMAND")
 
@@ -257,7 +274,7 @@ def _main(argv: Optional[List[str]] = None) -> None:
     elif args.command == "crush":
         from .ops.transform import crush
 
-        out.write(emit_gfa(crush(g), order="sorted"))
+        _emit_transform(args, out, crush(g), order="sorted")
     elif args.command == "bed":
         from .bed import parse_bed_file, run_bed_intersect
 
@@ -288,16 +305,18 @@ def _main(argv: Optional[List[str]] = None) -> None:
         from .ops.inject import inject
 
         new_g = inject(g, parse_bed_file(args.bed))
-        out.write(emit_gfa(new_g, order="sorted", include_links=False))
+        _emit_transform(
+            args, out, new_g, order="sorted", include_links=False
+        )
     elif args.command == "chop":
         from .ops.transform import chop
 
-        out.write(
-            emit_gfa(
-                chop(g, args.count, with_links=args.links),
-                order="sorted",
-                include_links=args.links,
-            )
+        _emit_transform(
+            args,
+            out,
+            chop(g, args.count, with_links=args.links),
+            order="sorted",
+            include_links=args.links,
         )
     elif args.command == "flip":
         _choose_platform(g)
@@ -305,8 +324,8 @@ def _main(argv: Optional[List[str]] = None) -> None:
         from .ops.transform import flip
 
         flipped, sort_keys = flip(g, build_device_graph(g))
-        out.write(
-            emit_gfa(flipped, order="sorted", path_sort_keys=sort_keys)
+        _emit_transform(
+            args, out, flipped, order="sorted", path_sort_keys=sort_keys
         )
     else:
         # Device-graph-backed queries.

@@ -141,6 +141,44 @@ def save_flatgfa(filename: str, g: GraphArrays, spare: float = 0.0) -> None:
         f.truncate(total)
 
 
+def update_in_place(filename: str, g: GraphArrays) -> None:
+    """Rewrite an existing FlatGFA file's pools in place.
+
+    The file's pool *capacities* are kept; each new pool must fit within
+    its existing capacity (reference: the mutate-in-place mode enabled
+    by spare capacity, file.rs view_store / cli -m). Raises
+    FlatFileError when a pool outgrew its slot.
+    """
+    pools = _pools_of(g)
+    with open(filename, "r+b") as f:
+        head = f.read(TOC_DTYPE.itemsize)
+        if len(head) < TOC_DTYPE.itemsize:
+            raise FlatFileError("file too small for FlatGFA TOC")
+        toc = np.frombuffer(head, dtype=TOC_DTYPE).copy()[0]
+        if toc["magic"] != MAGIC:
+            raise FlatFileError("bad magic number: not a FlatGFA file")
+
+        off = TOC_DTYPE.itemsize
+        writes = []
+        for name in POOL_ORDER:
+            arr = pools[name]
+            cap = int(toc[name]["capacity"])
+            if arr.shape[0] > cap:
+                raise FlatFileError(
+                    f"pool {name!r} needs {arr.shape[0]} slots but the "
+                    f"file only reserves {cap}; rewrite with save_flatgfa"
+                )
+            toc[name]["len"] = arr.shape[0]
+            writes.append((off, arr))
+            off += cap * _POOL_ELEM[name].itemsize
+
+        f.seek(0)
+        f.write(toc.tobytes())
+        for pos, arr in writes:
+            f.seek(pos)
+            f.write(arr.tobytes())
+
+
 def read_pools(buf: memoryview) -> Tuple[dict, dict]:
     """Zero-copy views over each pool in a file buffer.
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from ..device import DeviceGraph, bounded_segment_sum
+from ..device import DeviceGraph
 from ..flatgfa import GraphArrays
 
 

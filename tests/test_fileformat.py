@@ -60,3 +60,32 @@ def test_load_is_zero_copy(tmp_path):
     # Pool views alias the mapping, not fresh allocations.
     assert not g2.steps.flags.owndata
     assert not g2.seq_data.flags.owndata
+
+
+def test_update_in_place(graph_path, tmp_path):
+    from pollen_tpu.ops.transform import crush
+
+    g = parse_gfa_file(str(graph_path))
+    out = tmp_path / "g.flatgfa"
+    save_flatgfa(str(out), g, spare=1.0)
+    crushed = crush(g)
+    from pollen_tpu.fileformat import update_in_place
+
+    update_in_place(str(out), crushed)
+    again = load_flatgfa(str(out))
+    from pollen_tpu.emit import emit_gfa as _emit
+
+    assert _emit(again, order="sorted") == _emit(crushed, order="sorted")
+
+
+def test_update_in_place_overflow(tmp_path):
+    from pollen_tpu.ops.transform import chop
+
+    g = parse_gfa_file("tests/graphs/tiny.gfa")
+    out = tmp_path / "g.flatgfa"
+    save_flatgfa(str(out), g)  # no spare capacity
+    chopped = chop(g, 1)  # more segments than reserved
+    from pollen_tpu.fileformat import update_in_place
+
+    with pytest.raises(FlatFileError):
+        update_in_place(str(out), chopped)
