@@ -5,6 +5,9 @@
 test:
 	python -m pytest tests/ -q
 
+test-scale:
+	POLLEN_SCALE_TEST=1 python -m pytest tests/test_scale.py -q
+
 test-fast:
 	python -m pytest tests/ -q -x
 
