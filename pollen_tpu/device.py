@@ -80,7 +80,6 @@ from .flatgfa import GraphArrays
         "run_count",
         "run_seg_bounds",
         "link_seg_bounds",
-        "link_seg_weights",
     ],
     meta_fields=["num_segments", "num_paths"],
 )
@@ -111,7 +110,6 @@ class DeviceGraph:
 
     # Link-endpoint histogram index (for degree): endpoints sorted by seg.
     link_seg_bounds: jax.Array  # int32[N+1]
-    link_seg_weights: jax.Array  # int32[2L] all-ones placeholder weights
 
     num_segments: int
     num_paths: int
@@ -243,9 +241,6 @@ def build_device_graph(
         run_count=put(jnp.asarray(run_count)) if not minimal else empty32,
         run_seg_bounds=put(jnp.asarray(run_seg_bounds)),
         link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
-        link_seg_weights=put(
-            jnp.ones(endpoints.shape[0], dtype=jnp.int32)
-        ),
         num_segments=n,
         num_paths=p,
     )

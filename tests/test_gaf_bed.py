@@ -186,3 +186,63 @@ def test_window_depth_weighted():
     # (2*4 + 1*2)/6 = 1.6667
     out = run_window_depth(g, dg, "x", 6)
     assert out == "x\t0\t6\t1.6667\n"
+
+
+def spec_window_depth(seg_lens, depth, steps, windows):
+    """Clarity re-statement of the reference's two-pointer weighted
+    window sweep (reference: ops/window_depth.rs assign_depths)."""
+    out = [0.0] * len(windows)
+    cur = 0
+    pos = 0
+    for seg, _rev in steps:
+        a, b = pos, pos + seg_lens[seg]
+        pos = b
+        weight = float(depth[seg] * seg_lens[seg])
+        while cur < len(windows):
+            w0, w1 = windows[cur]
+            lo, hi = max(w0, a), min(w1, b)
+            if hi > lo:
+                out[cur] += (weight * ((hi - lo) / (b - a))) / (w1 - w0)
+            if w1 > b:
+                break
+            cur += 1
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("window", [3, 7, 50])
+def test_window_depth_matches_two_pointer_spec(seed, window):
+    from pollen_tpu.ops.window_depth import run_window_depth
+    from pollen_tpu.ops.depth import format_float, seg_depth_with_uniq
+
+    rng = np.random.default_rng(seed)
+    n = 15
+    seg_lens = {i: int(rng.integers(1, 9)) for i in range(n)}
+    lines = ["H\tVN:Z:1.0"]
+    for i in range(n):
+        lines.append(f"S\t{i + 1}\t" + "A" * seg_lens[i])
+    paths = []
+    for p in range(4):
+        k = int(rng.integers(2, 10))
+        segs = rng.integers(0, n, k)
+        toks = ",".join(f"{int(s) + 1}+" for s in segs)
+        paths.append((f"p{p}", [(int(s), 0) for s in segs]))
+        lines.append(f"P\tp{p}\t{toks}\t*")
+    g = parse_gfa(("\n".join(lines) + "\n").encode())
+    dg = build_device_graph(g)
+
+    depth = {i: 0 for i in range(n)}
+    for _, steps in paths:
+        for s, _ in steps:
+            depth[s] += 1
+
+    name, steps = paths[0]
+    total = sum(seg_lens[s] for s, _ in steps)
+    windows = [(w, min(w + window, total)) for w in range(0, total, window)]
+    want = spec_window_depth(seg_lens, depth, steps, windows)
+
+    got = run_window_depth(g, dg, name, window)
+    got_lines = got.strip().split("\n")
+    assert len(got_lines) == len(windows)
+    for line, w, value in zip(got_lines, windows, want):
+        assert line == f"{name}\t{w[0]}\t{w[1]}\t{format_float(value, 4)}"
