@@ -194,9 +194,9 @@ def build_device_graph(
         run_count = np.zeros(0, dtype=np.int32)
         run_seg_bounds = np.zeros(n + 1, dtype=np.int32)
 
-    # Pad the sorted index to the Pallas block size: pad entries use a
-    # sentinel path id (= p, masked to 0) and are their own group, and
-    # they sit beyond seg_bounds[n] so boundary diffs never see them.
+    # Pad the sorted and run indexes to the Pallas block size: pad
+    # entries use a sentinel path id (= p, masked to 0) / zero counts,
+    # and they sit beyond the boundary tables so diffs never see them.
     from .kernels.segscan import BLOCK as blk
     s_pad = -(-max(s, 1) // blk) * blk
     path_sorted = np.concatenate(
@@ -204,6 +204,12 @@ def build_device_graph(
     )
     run_start = np.concatenate(
         [run_start, np.arange(s, s_pad, dtype=np.int32)]
+    )
+    r = run_path.shape[0]
+    r_pad = -(-max(r, 1) // blk) * blk
+    run_path = np.concatenate([run_path, np.full(r_pad - r, p, np.int32)])
+    run_count = np.concatenate(
+        [run_count, np.zeros(r_pad - r, np.int32)]
     )
 
     # Path step-span boundaries (step spans are contiguous in path order).

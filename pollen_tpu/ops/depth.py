@@ -77,6 +77,29 @@ def seg_depth_with_uniq_runs(
 
 
 @jax.jit
+def seg_depth_with_uniq_runs_fused(
+    dg: DeviceGraph, path_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Run-level masked (depth, uniq) via the fused Pallas kernel
+    (TPU production path; see kernels/runscan.py)."""
+    from ..kernels.runscan import masked_run_cumsums
+
+    mask_ext = _extend_mask(path_mask)
+    p_pad = -(-mask_ext.shape[0] // 128) * 128
+    mask_padded = jnp.zeros(p_pad, jnp.int32).at[: mask_ext.shape[0]].set(
+        mask_ext
+    )
+    cswc, csw = masked_run_cumsums(
+        dg.run_path, dg.run_count, mask_padded
+    )
+    pad_wc = jnp.concatenate([jnp.zeros((1,), cswc.dtype), cswc])
+    pad_w = jnp.concatenate([jnp.zeros((1,), csw.dtype), csw])
+    depth = pad_wc[dg.run_seg_bounds[1:]] - pad_wc[dg.run_seg_bounds[:-1]]
+    uniq = pad_w[dg.run_seg_bounds[1:]] - pad_w[dg.run_seg_bounds[:-1]]
+    return depth, uniq
+
+
+@jax.jit
 def seg_depth_with_uniq_fused(
     dg: DeviceGraph, path_mask: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -123,8 +146,7 @@ def path_depth(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
     divided by its bp length (reference: ops/depth.rs:88-131); the
     division happens host-side in f64 for exact odgi float formatting.
     """
-    ones = jnp.ones(dg.num_steps, dtype=jnp.int32)
-    seg_depth = bounded_segment_sum(ones, dg.seg_bounds)
+    seg_depth = dg.seg_bounds[1:] - dg.seg_bounds[:-1]
     step_seg = (dg.steps >> 1).astype(jnp.int32)
     lens = dg.seg_len[step_seg].astype(jnp.int64)
     weighted = seg_depth[step_seg].astype(jnp.int64) * lens
@@ -194,10 +216,16 @@ def run_seg_depth(
         depth, uniq = seg_depth_with_uniq(dg)
     else:
         mask = jnp.asarray(path_mask_for(g, subset_paths))
-        if dg.run_path.shape[0]:
-            depth, uniq = seg_depth_with_uniq_runs(dg, mask)
-        elif jax.default_backend() not in ("cpu",):
+        on_tpu = jax.default_backend() not in ("cpu",)
+        r, s = dg.run_path.shape[0], dg.padded_steps
+        if on_tpu and r and r * 8 < s:
+            # Heavy crossing duplication: the run-level kernel touches
+            # far fewer elements than the step stream.
+            depth, uniq = seg_depth_with_uniq_runs_fused(dg, mask)
+        elif on_tpu:
             depth, uniq = seg_depth_with_uniq_fused(dg, mask)
+        elif r:
+            depth, uniq = seg_depth_with_uniq_runs(dg, mask)
         else:
             depth, uniq = seg_depth_with_uniq_masked(dg, mask)
     return seg_depth_table(g, np.asarray(depth), np.asarray(uniq))

@@ -98,3 +98,36 @@ def test_fused_path_matches_xla_on_fixture(graph_path):
     d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
     np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
     np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_x))
+
+
+def test_run_level_kernel_matches_xla(graph_path):
+    """runscan (interpret mode) vs the XLA run-level pipeline."""
+    from pollen_tpu.kernels.runscan import masked_run_cumsums
+    from pollen_tpu.ops.depth import (
+        _extend_mask,
+        seg_depth_with_uniq_runs,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    rng = np.random.default_rng(11)
+    for _ in range(2):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        mask_ext = np.asarray(_extend_mask(jnp.asarray(mask)))
+        p_pad = -(-mask_ext.shape[0] // 128) * 128
+        mask_padded = np.zeros(p_pad, np.int32)
+        mask_padded[: mask_ext.shape[0]] = mask_ext
+
+        cswc, csw = masked_run_cumsums(
+            dg.run_path, dg.run_count, jnp.asarray(mask_padded),
+            interpret=True,
+        )
+        pad_wc = np.concatenate([[0], np.asarray(cswc)])
+        pad_w = np.concatenate([[0], np.asarray(csw)])
+        b = np.asarray(dg.run_seg_bounds)
+        depth_f = pad_wc[b[1:]] - pad_wc[b[:-1]]
+        uniq_f = pad_w[b[1:]] - pad_w[b[:-1]]
+
+        d_x, u_x = seg_depth_with_uniq_runs(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(depth_f, np.asarray(d_x))
+        np.testing.assert_array_equal(uniq_f, np.asarray(u_x))
