@@ -97,7 +97,12 @@ def _time_chain(jitted, args, reps: int, chain: int) -> float:
 
 
 def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
-    """Device streaming bandwidth (B/s): chained elementwise update."""
+    """Device streaming bandwidth (B/s): chained elementwise update.
+
+    The xor in the loop body keeps the reduction from being factored
+    through the chain; the scalar sum keeps the host sync tiny
+    (device->host through this environment's tunnel runs at ~30 MB/s).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -105,10 +110,43 @@ def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
 
     @jax.jit
     def chained(x):
-        return jax.lax.fori_loop(0, chain, lambda i, x: x * 3 + 1, x)
+        out = jax.lax.fori_loop(
+            0, chain, lambda i, x: (x * 3 + 1) ^ (x >> 1), x
+        )
+        return jnp.sum(out)
 
     per_iter = _time_chain(chained, (x,), reps, chain)
+    if per_iter * chain < CALL_OVERHEAD_S:
+        return 0.0  # compute indistinguishable from dispatch overhead
     return n_steps * 8 / per_iter  # 4B read + 4B write per element
+
+
+def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
+    """Run the roofline calibration in a time-boxed child process.
+
+    Through a degraded device tunnel a single remote compile can take
+    minutes; the roofline only feeds vs_baseline, so it must never sink
+    the whole benchmark. Returns None on timeout/failure.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import measure_stream_roofline\n"
+        "print(measure_stream_roofline(%d, %d, %d))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), n_steps, reps, chain)
+    )
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=budget_s,
+        )
+        return float(result.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 def measure_depth(dg, reps: int, chain: int, fused: bool = True) -> float:
@@ -161,20 +199,51 @@ def main() -> None:
     n_steps = int(os.environ.get("POLLEN_BENCH_STEPS", 2**22))
     n_segs = int(os.environ.get("POLLEN_BENCH_SEGS", 2**18))
     n_paths = int(os.environ.get("POLLEN_BENCH_PATHS", 128))
-    reps = int(os.environ.get("POLLEN_BENCH_REPS", 3))
-    chain = int(os.environ.get("POLLEN_BENCH_CHAIN", 8))
+    reps = int(os.environ.get("POLLEN_BENCH_REPS", 2))
+    chain = int(os.environ.get("POLLEN_BENCH_CHAIN", 6))
+
+    import sys
 
     import jax
 
+    t0 = time.perf_counter()
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
+    print(f"# ingest {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     fused = jax.default_backend() != "cpu"
     bytes_per_step = 16.0 if fused else BYTES_PER_STEP
-    roofline = measure_stream_roofline(n_steps, reps, chain)
+
+    # The headline measurement first; the roofline calibration is
+    # best-effort and time-boxed (a flaky tunnel must not sink the run).
+    t0 = time.perf_counter()
     per_query = measure_depth(dg, reps, chain, fused=fused)
+    print(f"# depth {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     steps_per_s = n_steps / per_query
+
+    t0 = time.perf_counter()
+    # Long chain: the elementwise pass must dwarf the ~30 ms dispatch
+    # overhead for the subtraction to mean anything.
+    roofline = _roofline_subprocess(
+        min(n_steps, 2**21),
+        reps,
+        64,
+        budget_s=int(os.environ.get("POLLEN_BENCH_ROOFLINE_BUDGET", 240)),
+    )
+    print(
+        f"# roofline {roofline and roofline / 1e9} GB/s"
+        f" ({time.perf_counter() - t0:.1f}s)",
+        file=sys.stderr,
+    )
     achieved_bytes = steps_per_s * bytes_per_step
-    vs_baseline = achieved_bytes / roofline
+    if roofline:
+        vs_baseline = achieved_bytes / roofline
+    else:
+        # Calibration unavailable (flaky tunnel): report the fraction of
+        # the chip's nominal HBM peak instead (v5e: 819 GB/s). Honest
+        # but pessimistic — the tunnel runs far below chip spec.
+        vs_baseline = achieved_bytes / 819e9
+        print("# roofline unavailable; vs_baseline uses nominal HBM peak",
+              file=sys.stderr)
 
     print(
         json.dumps(

@@ -245,6 +245,10 @@ def _main(argv: Optional[List[str]] = None) -> None:
         return
 
     g = _load(args)
+    # Route compute to the right backend for this graph size before any
+    # query can initialize a jax backend (a tiny graph on the remote
+    # accelerator pays seconds of compile/transfer latency for nothing).
+    _choose_platform(g)
 
     if args.command is None:
         if not _store(args, g):
