@@ -205,6 +205,58 @@ def sharded_seg_depth_fn(
     return query
 
 
+def sharded_seg_depth_scatter_fn(mesh: Mesh):
+    """Mesh-wide (depth, uniq) with the *output* sharded too.
+
+    Like :func:`sharded_seg_depth_fn`, but partials merge with
+    ``psum_scatter`` over the chip axis: each device keeps only its
+    slice of the N-sized result (the tensor-parallel analogue for
+    segment-indexed outputs — for graphs whose segment tables are too
+    large to replicate). Requires (N + 1) padded to a multiple of the
+    chip-axis size times 1; callers slice the valid prefix.
+    """
+
+    @jax.jit
+    def query(sg: ShardedGraph, mask_ext: jax.Array):
+        def worker(path_chunk, run_start, seg_bounds, chunk_starts, mask):
+            idx = jax.lax.axis_index(STEP_AXES)
+            chunk_start = chunk_starts[idx]
+            d, u = _local_depth_uniq(
+                path_chunk,
+                run_start,
+                seg_bounds,
+                chunk_start,
+                mask,
+                STEP_AXES,
+            )
+            # Sum over hosts (replicated result per host row), then
+            # scatter the segment axis across chips.
+            d = jax.lax.psum(d, "host")
+            u = jax.lax.psum(u, "host")
+            chips = jax.lax.axis_size("chip")
+            pad = (-d.shape[0]) % chips
+            d = jnp.concatenate([d, jnp.zeros(pad, d.dtype)])
+            u = jnp.concatenate([u, jnp.zeros(pad, u.dtype)])
+            d = jax.lax.psum_scatter(d, "chip", scatter_dimension=0, tiled=True)
+            u = jax.lax.psum_scatter(u, "chip", scatter_dimension=0, tiled=True)
+            return d, u
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(STEP_AXES), P(STEP_AXES), P(), P(), P()),
+            out_specs=(P("chip"), P("chip")),
+        )(
+            sg.step_path_sorted,
+            sg.run_start,
+            sg.seg_bounds,
+            sg.chunk_starts,
+            mask_ext,
+        )
+
+    return query
+
+
 def sharded_degree_fn(mesh: Mesh):
     """Mesh-wide degree: link-endpoint chunks sharded, boundary table
     replicated, partial histograms merged with psum."""

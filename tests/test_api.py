@@ -130,3 +130,19 @@ def test_packedseq_randomized():
         n = int(rng.integers(0, 64))
         text = bytes(rng.choice(list(b"ACTG"), n).astype(np.uint8))
         assert PackedSeq.from_ascii(text).to_ascii() == text
+
+
+def test_profiling_utils(tmp_path, caplog):
+    import logging
+
+    from pollen_tpu import profiling
+
+    with caplog.at_level(logging.INFO, logger="pollen_tpu"):
+        with profiling.stopwatch("unit-test"):
+            pass
+    assert any("unit-test" in r.message for r in caplog.records)
+
+    import jax.numpy as jnp
+
+    t = profiling.time_jitted(lambda x: x + 1, jnp.ones(8), reps=1)
+    assert t >= 0

@@ -87,3 +87,18 @@ def test_sharded_degree_matches_single(graph_path, mesh):
     np.testing.assert_array_equal(
         np.asarray(deg_m), np.asarray(seg_degree(dg))
     )
+
+
+def test_sharded_depth_scatter_output(graph_path, mesh):
+    """Output-sharded depth (psum_scatter over chips) gathers to the
+    same answer as the replicated-output query."""
+    from pollen_tpu.parallel.sharded import sharded_seg_depth_scatter_fn
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    sg = shard_device_graph(dg, mesh)
+    d_r, u_r = sharded_seg_depth_fn(mesh)(sg, full_mask(dg.num_paths))
+    d_s, u_s = sharded_seg_depth_scatter_fn(mesh)(sg, full_mask(dg.num_paths))
+    n = dg.num_segments
+    np.testing.assert_array_equal(np.asarray(d_s).reshape(-1)[:n], np.asarray(d_r))
+    np.testing.assert_array_equal(np.asarray(u_s).reshape(-1)[:n], np.asarray(u_r))
