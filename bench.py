@@ -227,7 +227,7 @@ def main() -> None:
         min(n_steps, 2**21),
         reps,
         64,
-        budget_s=int(os.environ.get("POLLEN_BENCH_ROOFLINE_BUDGET", 240)),
+        budget_s=int(os.environ.get("POLLEN_BENCH_ROOFLINE_BUDGET", 150)),
     )
     print(
         f"# roofline {roofline and roofline / 1e9} GB/s"
