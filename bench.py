@@ -10,22 +10,24 @@ Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
 
-``vs_baseline``: achieved HBM traffic (24 B/step model: read sorted path
-ids + group starts, write two cumsums) as a fraction of the device's
-*measured* streaming roofline (timed in the same harness with an
-elementwise chain). The reference publishes no absolute numbers
-(SURVEY.md §6); the driver-set target is "segment-sum loop at HBM
-speed-of-light", and roofline fraction is the faithful proxy — this
-environment's TPU tunnel runs far below hardware spec, so peak-BW
-fractions would measure the tunnel, not the kernel.
+``vs_baseline``: achieved HBM traffic (16 B/step for the fused Pallas
+kernel: read sorted path ids + group starts, write two cumsums; 24 for
+the XLA pipeline) as a fraction of the device's *measured* streaming
+roofline, falling back to the chip's nominal HBM peak when the
+environment is too degraded to calibrate. The reference publishes no
+absolute numbers (SURVEY.md §6); the driver-set target is "segment-sum
+loop at HBM speed-of-light", and roofline fraction is the faithful
+proxy — this environment's TPU tunnel runs far below hardware spec, so
+peak-BW fractions would measure the tunnel, not the kernel.
 
 Timing notes: each measurement chains K kernel iterations inside one jit
 with a true data dependency between iterations (the mask is derived from
 the previous output), defeating both dispatch-latency artifacts (~30 ms
 per call through the tunnel) and XLA folding of unused results.
 
-Env knobs: POLLEN_BENCH_STEPS (default 2**24), POLLEN_BENCH_SEGS,
-POLLEN_BENCH_PATHS, POLLEN_BENCH_REPS, POLLEN_BENCH_CHAIN.
+Env knobs: POLLEN_BENCH_STEPS (default 2**22), POLLEN_BENCH_SEGS,
+POLLEN_BENCH_PATHS, POLLEN_BENCH_REPS, POLLEN_BENCH_CHAIN,
+POLLEN_BENCH_ROOFLINE_BUDGET (seconds).
 """
 
 from __future__ import annotations

@@ -55,6 +55,42 @@ def ensure_graph(name: str) -> pathlib.Path:
     return path
 
 
+def ensure_gaf(graph_path: pathlib.Path, n_reads: int = 2000) -> None:
+    """Generate a read set for a graph (random sub-walks of its paths)."""
+    gaf_path = graph_path.with_suffix(".gaf")
+    if gaf_path.exists():
+        return
+    sys.path.insert(0, str(HERE.parent))
+    import numpy as np
+
+    from pollen_tpu.flatgfa import parse_gfa_file
+
+    g = parse_gfa_file(str(graph_path))
+    rng = np.random.default_rng(17)
+    lines = []
+    for i in range(n_reads):
+        p = int(rng.integers(0, g.num_paths))
+        lo, hi = g.path_steps[p]
+        if hi - lo < 2:
+            continue
+        a = int(rng.integers(lo, hi - 1))
+        b = int(rng.integers(a + 1, min(a + 40, hi) + 1))
+        steps = g.steps[a:b]
+        segs = g.seg_name[(steps >> 1).astype(np.int64)]
+        revs = (steps & 1).astype(bool)
+        path = "".join(
+            f"{'<' if r else '>'}{s}" for s, r in zip(segs, revs)
+        )
+        total = int(g.seg_len[(steps >> 1).astype(np.int64)].sum())
+        start = int(rng.integers(0, max(total - 1, 1)))
+        end = int(rng.integers(start + 1, total + 1))
+        lines.append(
+            f"read{i}\t{total}\t0\t{total}\t+\t{path}\t{total}\t{start}"
+            f"\t{end}\t1\t1\t60"
+        )
+    gaf_path.write_text("\n".join(lines) + "\n")
+
+
 def time_command(
     cmd: str, warmup: int, min_runs: int, max_runs: int
 ) -> Optional[Dict]:
@@ -94,6 +130,8 @@ def run(modes: List[str], graph_set: str) -> pathlib.Path:
         for graph in graphs:
             path = ensure_graph(graph)
             base = str(path)[: -len(".gfa")]
+            if mode == "gaf":
+                ensure_gaf(path)
             for tool, template in tools.items():
                 cmd = template.format(filename=path, base=base)
                 print(f"[{mode}] {tool} on {graph}: {cmd}")
