@@ -65,12 +65,17 @@ class GFAParseError(ValueError):
 def ragged_gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenate ``buf[starts[i] : starts[i]+lens[i]]`` for all i.
 
-    The standard repeat/cumsum trick: builds a flat index vector so one
-    fancy-gather does all the copies (no Python loop).
+    Few-but-large ranges (e.g. whole P-line step fields) copy fastest as
+    plain slices; many-small ranges use the repeat/cumsum trick — one
+    flat index vector, one fancy-gather, no Python loop.
     """
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=buf.dtype)
+    if starts.shape[0] <= 64 or total > 32 * starts.shape[0]:
+        return np.concatenate(
+            [buf[s : s + n] for s, n in zip(starts, lens)]
+        )
     offs = np.repeat(np.cumsum(lens) - lens, lens)
     idx = np.arange(total, dtype=np.int64) - offs + np.repeat(starts, lens)
     return buf[idx]
