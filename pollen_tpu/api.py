@@ -267,11 +267,14 @@ class FlatGFA:
     def write_flatgfa(self, filename: str) -> None:
         save_flatgfa(filename, self._a)
 
-    def all_reads(self, gaf: str):
-        """Parse a GAF file against this graph (see ops/gaf.py)."""
-        from .ops.gaf import parse_gaf_file
+    def all_reads(self, gaf: str) -> "GAFParser":
+        """Parse a GAF file against this graph; iterate GAFLine objects
+        (reference surface: flatgfa-py all_reads/GAFParser)."""
+        from .ops.gaf import chunk_events, parse_gaf_file
 
-        return parse_gaf_file(gaf, self._a)
+        reads = parse_gaf_file(gaf, self._a)
+        _, kind, a, b = chunk_events(self._a, self.device(), reads)
+        return GAFParser(self, reads, kind, a, b)
 
     def print_gaf_lookup(self, gaf: str) -> None:
         import sys
@@ -285,6 +288,104 @@ class FlatGFA:
         from .ops.gaf import pangenotype_matrix
 
         return pangenotype_matrix(self._a, gaf_files).tolist()
+
+
+class ChunkEvent:
+    """One read step's coverage of a segment.
+
+    ``range`` follows the reference's quirky encoding (flatgfa-py
+    lib.rs:527-536): skipped -> (1, 0), fully covered ->
+    (0, len - 1), partial -> the clipped [start, end) offsets.
+    """
+
+    def __init__(self, g: FlatGFA, packed: int, kind: int, a: int, b: int):
+        self._g = g
+        self._packed = packed
+        self._kind = kind
+        self._a = a
+        self._b = b
+
+    @property
+    def handle(self) -> Handle:
+        return Handle(self._g, self._packed)
+
+    @property
+    def range(self):
+        from .ops.gaf import KIND_ALL, KIND_NONE
+
+        if self._kind == KIND_NONE:
+            return (1, 0)
+        if self._kind == KIND_ALL:
+            return (0, len(self.handle.segment) - 1)
+        return (self._a, self._b)
+
+    def sequence(self) -> str:
+        from .ops.gaf import KIND_ALL, KIND_NONE, _revcomp
+
+        if self._kind == KIND_NONE:
+            return ""
+        seq = self.handle.segment.sequence()
+        if not self.handle.is_forward:
+            seq = _revcomp(seq)
+        if self._kind != KIND_ALL:
+            seq = seq[self._a : self._b]
+        return seq.decode("ascii")
+
+    def _seg_text(self, index: int) -> str:
+        from .ops.gaf import KIND_ALL, KIND_NONE
+
+        name = self.handle.segment.name
+        ori = "+" if self.handle.is_forward else "-"
+        if self._kind == KIND_NONE:
+            return f"{index}: (skipped)"
+        if self._kind == KIND_ALL:
+            return f"{index}: {name}{ori}, {len(self.handle.segment)}bp"
+        return f"{index}: {name}{ori}, {self._a}-{self._b}bp"
+
+
+class GAFLine:
+    def __init__(self, g: FlatGFA, name: str, chunks: List[ChunkEvent]):
+        self._g = g
+        self.name = name
+        self.chunks = chunks
+
+    def __iter__(self) -> Iterator[ChunkEvent]:
+        return iter(self.chunks)
+
+    def sequence(self) -> str:
+        return "".join(c.sequence() for c in self.chunks)
+
+    def segment_ranges(self) -> str:
+        return "".join(
+            "\n" + c._seg_text(i) for i, c in enumerate(self.chunks)
+        )
+
+
+class GAFParser:
+    """Iterable of a GAF file's reads (chunking precomputed in one
+    batched device pass; iteration is pure object assembly)."""
+
+    def __init__(self, g: FlatGFA, reads, kind, a, b):
+        self._g = g
+        self._reads = reads
+        self._kind = kind
+        self._a = a
+        self._b = b
+
+    def __iter__(self) -> Iterator[GAFLine]:
+        for r in range(self._reads.num_reads):
+            lo, hi = self._reads.read_bounds[r], self._reads.read_bounds[r + 1]
+            chunks = [
+                ChunkEvent(
+                    self._g,
+                    int(self._reads.steps[i]),
+                    int(self._kind[i]),
+                    int(self._a[i]),
+                    int(self._b[i]),
+                )
+                for i in range(lo, hi)
+            ]
+            yield GAFLine(self._g, self._reads.read_name(r).decode(), chunks)
 
 
 def parse(filename: str) -> FlatGFA:

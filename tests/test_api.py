@@ -146,3 +146,34 @@ def test_profiling_utils(tmp_path, caplog):
 
     t = profiling.time_jitted(lambda x: x + 1, jnp.ones(8), reps=1)
     assert t >= 0
+
+
+def test_all_reads_object_surface(tmp_path):
+    """GAFParser / GAFLine / ChunkEvent match the reference's flatgfa-py
+    semantics (its test_gaf.py expectations reproduced verbatim on its
+    fixture shapes)."""
+    gfa = (
+        b"H\tVN:Z:1.0\n"
+        b"S\t1\tCAAATAAG\nS\t2\tAAATTTTCTGGAGTTCTAT\nS\t3\tTTG\n"
+        b"S\t4\tCCAACTCTCTG\n"
+        b"P\tone\t1+,2+,4-\t*\nP\ttwo\t1+,2+,3+,4-\t*\n"
+        b"L\t1\t+\t2\t+\t0M\nL\t2\t+\t4\t-\t0M\n"
+        b"L\t2\t+\t3\t+\t0M\nL\t3\t+\t4\t-\t0M\n"
+    )
+    gaf = tmp_path / "tiny.gaf"
+    gaf.write_bytes(
+        b"foo\t12\t0\t12\t+\t>1>2<4\t38\t5\t17\t12\t12\t0\tcg:Z:150M\n"
+        b"bar\t20\t0\t20\t+\t>1>2>3\t30\t7\t27\t20\t20\t0\tcg:Z:150M\n"
+    )
+    g = pollen_tpu.parse_bytes(gfa)
+    lines = list(g.all_reads(str(gaf)))
+    assert [ln.name for ln in lines] == ["foo", "bar"]
+    seqs = ["".join(e.sequence() for e in line) for line in lines]
+    assert seqs == ["AAGAAATTTTCT", "GAAATTTTCTGGAGTTCTAT"]
+    ranges = [[e.range for e in line] for line in lines]
+    assert ranges == [
+        [(5, 8), (0, 9), (1, 0)],
+        [(7, 8), (0, 18), (0, 0)],
+    ]
+    assert lines[0].sequence() == "AAGAAATTTTCT"
+    assert lines[0].segment_ranges().startswith("\n0: 1+, 5-8bp")
