@@ -95,9 +95,12 @@ def time_command(
     cmd: str, warmup: int, min_runs: int, max_runs: int
 ) -> Optional[Dict]:
     """hyperfine-style timing of one shell command."""
+    from pollen_tpu.scripts import script_env
+
+    env = script_env()
     for _ in range(warmup):
         r = subprocess.run(
-            cmd, shell=True, capture_output=True, text=False
+            cmd, shell=True, capture_output=True, text=False, env=env
         )
         if r.returncode != 0:
             print(f"  FAILED: {cmd}\n{r.stderr.decode()[-400:]}", file=sys.stderr)
@@ -106,7 +109,7 @@ def time_command(
     total = 0.0
     while len(times) < max_runs and (len(times) < min_runs or total < 3.0):
         t0 = time.perf_counter()
-        subprocess.run(cmd, shell=True, capture_output=True)
+        subprocess.run(cmd, shell=True, capture_output=True, env=env)
         dt = time.perf_counter() - t0
         times.append(dt)
         total += dt

@@ -7,6 +7,8 @@ import subprocess
 
 import pytest
 
+from pollen_tpu.scripts import script_env
+
 README = (
     pathlib.Path(__file__).resolve().parent.parent
     / "pollen_tpu"
@@ -34,6 +36,7 @@ def test_readme_block(command, expected):
         capture_output=True,
         text=True,
         timeout=120,
+        env=script_env(),
     )
     assert result.returncode == 0, result.stderr[-500:]
     assert result.stdout == expected
