@@ -244,6 +244,22 @@ def _main(argv: Optional[List[str]] = None) -> None:
             print(line_count(args.wcl, args.parallel))
         return
 
+    # Pure GFA -> binary conversion: one native pass straight from text
+    # to the output file, never materializing Python-side pools (the
+    # reference's prealloc_translate, cli/main.rs:216-248).
+    if args.command is None and args.input_gfa and args.output:
+        from .native import convert_gfa_native
+
+        with open(args.input_gfa, "rb") as f:
+            data = f.read()
+        if convert_gfa_native(data, args.output, args.prealloc_factor):
+            return
+        g = parse_gfa(data)
+        from .fileformat import save_flatgfa
+
+        save_flatgfa(args.output, g, spare=args.prealloc_factor)
+        return
+
     g = _load(args)
     # Route compute to the right backend for this graph size before any
     # query can initialize a jax backend (a tiny graph on the remote

@@ -109,6 +109,13 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gfa_emit.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.gfa_text_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.gfa_convert.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+        ctypes.c_double,
+    ]
+    lib.gfa_convert.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -181,6 +188,24 @@ def emit_gfa_native(g) -> Optional[str]:
         return ctypes.string_at(buf, size.value).decode("ascii")
     finally:
         lib.gfa_text_free(buf)
+
+
+def convert_gfa_native(
+    data: bytes, out_path: str, spare: float = 0.0
+) -> bool:
+    """Parse GFA text and write the binary FlatGFA file in one native
+    pass (the reference's prealloc_translate, cli/main.rs:216-248) —
+    no Python-side pool arrays. False means "fall back to parse + save".
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    code = lib.gfa_convert(
+        data, len(data), os.fsencode(out_path), float(spare)
+    )
+    if code >= 100:
+        raise OSError(f"native FlatGFA conversion failed writing {out_path}")
+    return code == 0
 
 
 def parse_gfa_native(data: bytes):

@@ -9,10 +9,14 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libpollen_scan.so gfa_scan.cpp
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
 
 namespace {
 
@@ -96,6 +100,18 @@ T *copy_out(const std::vector<T> &v) {
   return p;
 }
 
+// All pools of one parsed graph, still in host vectors (shared between
+// the copy-out ABI below and the direct-to-file converter).
+struct Pools {
+  std::vector<int64_t> seg_name;
+  std::vector<uint32_t> seg_seq, seg_opt;
+  std::vector<uint32_t> path_name, path_steps, path_olaps;
+  std::vector<uint32_t> link_from, link_to, link_olap;
+  std::vector<uint32_t> steps, overlaps, alignment;
+  std::vector<uint8_t> seq_data, opt_data, name_data, line_order;
+  const uint8_t *header_lo = nullptr, *header_hi = nullptr;
+};
+
 }  // namespace
 
 extern "C" {
@@ -131,12 +147,21 @@ struct GfaOut {
   uint8_t *header;
 };
 
-int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
+int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out);
+
+}  // extern "C"
+
+namespace {
+
+// Parse GFA text into pool vectors; returns 0 on success, else the
+// error code gfa_parse reports (the caller falls back to NumPy).
+int parse_pools(const uint8_t *buf, uint64_t len, Pools *P) {
   std::vector<SegRec> segs;
   std::vector<LinkRec> links;
   std::vector<PathRec> paths;
-  std::vector<uint8_t> line_order;
-  const uint8_t *header_lo = nullptr, *header_hi = nullptr;
+  std::vector<uint8_t> &line_order = P->line_order;
+  const uint8_t *&header_lo = P->header_lo;
+  const uint8_t *&header_hi = P->header_hi;
 
   const uint8_t *p = buf;
   const uint8_t *buf_end = buf + len;
@@ -239,9 +264,12 @@ int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
   };
 
   // Segments: pack sequence/optional bytes.
-  std::vector<int64_t> seg_name(n);
-  std::vector<uint32_t> seg_seq(n * 2), seg_opt(n * 2);
-  std::vector<uint8_t> seq_data, opt_data;
+  std::vector<int64_t> &seg_name = P->seg_name;
+  std::vector<uint32_t> &seg_seq = P->seg_seq, &seg_opt = P->seg_opt;
+  std::vector<uint8_t> &seq_data = P->seq_data, &opt_data = P->opt_data;
+  seg_name.resize(n);
+  seg_seq.resize(n * 2);
+  seg_opt.resize(n * 2);
   for (uint64_t i = 0; i < n; ++i) {
     const SegRec &s = segs[i];
     seg_name[i] = s.name;
@@ -255,7 +283,9 @@ int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
 
   // Links: handles + CIGARs (the alignment pool holds link CIGARs
   // first, then path CIGARs, matching the NumPy parser).
-  std::vector<uint32_t> link_from, link_to, link_olap, overlaps, alignment;
+  std::vector<uint32_t> &link_from = P->link_from, &link_to = P->link_to,
+                        &link_olap = P->link_olap, &overlaps = P->overlaps,
+                        &alignment = P->alignment;
   link_from.reserve(links.size());
   for (const LinkRec &l : links) {
     uint32_t f, t;
@@ -272,8 +302,10 @@ int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
   }
 
   // Paths: names, steps, overlap lists.
-  std::vector<uint32_t> path_name, path_steps_v, path_olaps, steps;
-  std::vector<uint8_t> name_data;
+  std::vector<uint32_t> &path_name = P->path_name,
+                        &path_steps_v = P->path_steps,
+                        &path_olaps = P->path_olaps, &steps = P->steps;
+  std::vector<uint8_t> &name_data = P->name_data;
   std::vector<std::vector<uint32_t>> deferred_path_cigars;
   for (const PathRec &pr : paths) {
     path_name.push_back(static_cast<uint32_t>(name_data.size()));
@@ -343,37 +375,48 @@ int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
     path_olaps.push_back(static_cast<uint32_t>(overlaps.size() / 2));
   }
 
-  // Copy everything out.
-  out->n_segs = n;
-  out->seg_name = copy_out(seg_name);
-  out->seg_seq = copy_out(seg_seq);
-  out->seg_opt = copy_out(seg_opt);
-  out->n_paths = paths.size();
-  out->path_name = copy_out(path_name);
-  out->path_steps = copy_out(path_steps_v);
-  out->path_olaps = copy_out(path_olaps);
-  out->n_links = links.size();
-  out->link_from = copy_out(link_from);
-  out->link_to = copy_out(link_to);
-  out->link_olap = copy_out(link_olap);
-  out->n_steps = steps.size();
-  out->steps = copy_out(steps);
-  out->n_seq = seq_data.size();
-  out->seq_data = copy_out(seq_data);
-  out->n_overlaps = overlaps.size() / 2;
-  out->overlaps = copy_out(overlaps);
-  out->n_align = alignment.size();
-  out->alignment = copy_out(alignment);
-  out->n_name_data = name_data.size();
-  out->name_data = copy_out(name_data);
-  out->n_opt_data = opt_data.size();
-  out->opt_data = copy_out(opt_data);
-  out->n_lines = line_order.size();
-  out->line_order = copy_out(line_order);
-  out->n_header = header_lo ? static_cast<uint64_t>(header_hi - header_lo) : 0;
-  if (header_lo) {
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out) {
+  Pools P;
+  int code = parse_pools(buf, len, &P);
+  if (code != 0) return code;
+  out->n_segs = P.seg_name.size();
+  out->seg_name = copy_out(P.seg_name);
+  out->seg_seq = copy_out(P.seg_seq);
+  out->seg_opt = copy_out(P.seg_opt);
+  out->n_paths = P.path_name.size() / 2;
+  out->path_name = copy_out(P.path_name);
+  out->path_steps = copy_out(P.path_steps);
+  out->path_olaps = copy_out(P.path_olaps);
+  out->n_links = P.link_from.size();
+  out->link_from = copy_out(P.link_from);
+  out->link_to = copy_out(P.link_to);
+  out->link_olap = copy_out(P.link_olap);
+  out->n_steps = P.steps.size();
+  out->steps = copy_out(P.steps);
+  out->n_seq = P.seq_data.size();
+  out->seq_data = copy_out(P.seq_data);
+  out->n_overlaps = P.overlaps.size() / 2;
+  out->overlaps = copy_out(P.overlaps);
+  out->n_align = P.alignment.size();
+  out->alignment = copy_out(P.alignment);
+  out->n_name_data = P.name_data.size();
+  out->name_data = copy_out(P.name_data);
+  out->n_opt_data = P.opt_data.size();
+  out->opt_data = copy_out(P.opt_data);
+  out->n_lines = P.line_order.size();
+  out->line_order = copy_out(P.line_order);
+  out->n_header =
+      P.header_lo ? static_cast<uint64_t>(P.header_hi - P.header_lo) : 0;
+  if (P.header_lo) {
     uint8_t *h = static_cast<uint8_t *>(malloc(out->n_header + 1));
-    memcpy(h, header_lo, out->n_header);
+    memcpy(h, P.header_lo, out->n_header);
     out->header = h;
   } else {
     out->header = static_cast<uint8_t *>(malloc(1));
@@ -399,6 +442,104 @@ void gfa_free(GfaOut *out) {
   free(out->opt_data);
   free(out->line_order);
   free(out->header);
+}
+
+// Parse GFA text and write the binary FlatGFA file directly — the
+// reference's `prealloc_translate` fast path (cli/main.rs:216-248):
+// no Python-side pool materialization, one pass from text to file.
+// TOC layout matches pollen_tpu/fileformat.py (magic + 11 (len, cap)
+// u64 pairs, pools padded to capacity). `spare` reserves extra
+// capacity per pool for later in-place mutation. Returns 0 on success,
+// the gfa_parse error codes on parse failure, or 100+code on IO error.
+int gfa_convert(const uint8_t *buf, uint64_t len, const char *out_path,
+                double spare) {
+  Pools P;
+  int code = parse_pools(buf, len, &P);
+  if (code != 0) return code;
+
+  const uint64_t n = P.seg_name.size();
+  const uint64_t p = P.path_name.size() / 2;
+  const uint64_t l = P.link_from.size();
+
+  // Assemble the AoS record pools (segs 24 B, paths 24 B, links 16 B).
+  std::vector<uint8_t> segs(n * 24);
+  for (uint64_t i = 0; i < n; ++i) {
+    uint8_t *r = segs.data() + i * 24;
+    uint64_t name = static_cast<uint64_t>(P.seg_name[i]);
+    memcpy(r, &name, 8);
+    memcpy(r + 8, &P.seg_seq[i * 2], 8);
+    memcpy(r + 16, &P.seg_opt[i * 2], 8);
+  }
+  std::vector<uint8_t> paths(p * 24);
+  for (uint64_t i = 0; i < p; ++i) {
+    uint8_t *r = paths.data() + i * 24;
+    memcpy(r, &P.path_name[i * 2], 8);
+    memcpy(r + 8, &P.path_steps[i * 2], 8);
+    memcpy(r + 16, &P.path_olaps[i * 2], 8);
+  }
+  std::vector<uint8_t> links(l * 16);
+  for (uint64_t i = 0; i < l; ++i) {
+    uint8_t *r = links.data() + i * 16;
+    memcpy(r, &P.link_from[i], 4);
+    memcpy(r + 4, &P.link_to[i], 4);
+    memcpy(r + 8, &P.link_olap[i * 2], 8);
+  }
+
+  const uint64_t header_len =
+      P.header_lo ? static_cast<uint64_t>(P.header_hi - P.header_lo) : 0;
+
+  struct PoolDesc {
+    const void *data;
+    uint64_t len;   // element count
+    uint64_t elem;  // element size in bytes
+  };
+  const PoolDesc pools[11] = {
+      {P.header_lo, header_len, 1},
+      {segs.data(), n, 24},
+      {paths.data(), p, 24},
+      {links.data(), l, 16},
+      {P.steps.data(), P.steps.size(), 4},
+      {P.seq_data.data(), P.seq_data.size(), 1},
+      {P.overlaps.data(), P.overlaps.size() / 2, 8},
+      {P.alignment.data(), P.alignment.size(), 4},
+      {P.name_data.data(), P.name_data.size(), 1},
+      {P.opt_data.data(), P.opt_data.size(), 1},
+      {P.line_order.data(), P.line_order.size(), 1},
+  };
+
+  uint64_t toc[23];
+  toc[0] = 0xB1011054ull;  // magic
+  uint64_t total = sizeof(toc);
+  uint64_t offsets[11];
+  for (int i = 0; i < 11; ++i) {
+    uint64_t cap =
+        pools[i].len + static_cast<uint64_t>(pools[i].len * spare);
+    toc[1 + 2 * i] = pools[i].len;
+    toc[2 + 2 * i] = cap;
+    offsets[i] = total;
+    total += cap * pools[i].elem;
+  }
+
+  int fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return 100;
+  if (ftruncate(fd, static_cast<off_t>(total)) != 0) {
+    close(fd);
+    return 101;
+  }
+  bool ok = pwrite(fd, toc, sizeof(toc), 0) ==
+            static_cast<ssize_t>(sizeof(toc));
+  for (int i = 0; ok && i < 11; ++i) {
+    uint64_t nbytes = pools[i].len * pools[i].elem;
+    uint64_t done = 0;
+    while (ok && done < nbytes) {
+      ssize_t w = pwrite(fd, static_cast<const uint8_t *>(pools[i].data) + done,
+                         nbytes - done, static_cast<off_t>(offsets[i] + done));
+      if (w <= 0) ok = false;
+      else done += static_cast<uint64_t>(w);
+    }
+  }
+  if (close(fd) != 0) ok = false;
+  return ok ? 0 : 102;
 }
 
 }  // extern "C"

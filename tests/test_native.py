@@ -56,6 +56,35 @@ def test_sparse_names_parity():
     assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
 
 
+@pytest.mark.parametrize("spare", [0.0, 0.5])
+def test_convert_direct_to_file(tmp_path, graph_path, spare):
+    """gfa_convert writes a file byte-identical to parse + save_flatgfa."""
+    from pollen_tpu.fileformat import save_flatgfa
+    from pollen_tpu.native import convert_gfa_native
+
+    data = graph_path.read_bytes()
+    native_out = tmp_path / "native.flatgfa"
+    assert convert_gfa_native(data, str(native_out), spare)
+    py_out = tmp_path / "python.flatgfa"
+    save_flatgfa(str(py_out), parse_gfa(data, native=False), spare=spare)
+    assert native_out.read_bytes() == py_out.read_bytes()
+
+
+def test_convert_rejects_fall_back(tmp_path):
+    from pollen_tpu.native import convert_gfa_native
+
+    out = tmp_path / "x.flatgfa"
+    assert not convert_gfa_native(b"X\twat\n", str(out))
+    assert not out.exists()
+
+
+def test_convert_write_failure_raises(tmp_path):
+    from pollen_tpu.native import convert_gfa_native
+
+    with pytest.raises(OSError):
+        convert_gfa_native(b"S\t1\tAA\n", str(tmp_path / "no/dir/x.fgfa"))
+
+
 def test_native_rejects_fall_back():
     # Unknown line kinds are a scanner error -> None (caller falls back
     # to the NumPy parser for the real diagnostics).
