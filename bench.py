@@ -1,10 +1,13 @@
 """Flagship benchmark: masked depth (+ unique depth) steps/s.
 
 Times the subset-paths segment-depth query (odgi ``depth -d -s``
-semantics): given a path mask that changes per query, stream the
-(segment, path)-sorted step list and produce per-segment depth and
-distinct-path counts. This is the honest S-scale kernel — the all-paths
-variant is answered from the ingest-time index in O(N).
+semantics): given a path mask that changes per query, produce
+per-segment depth and distinct-path counts. The production engine
+picks the cheapest resident index per graph — the dense crossing
+matrix (MXU mat-vecs, kernels/crossmat.py), the fused Pallas segmented
+scan over the sorted step list, or the run-level kernel — and so does
+this benchmark (POLLEN_BENCH_IMPL=cross|scan|xla overrides). The
+all-paths variant is answered from the ingest-time index in O(N).
 
 Prints ONE JSON line:
 
@@ -85,6 +88,12 @@ def synth_device_graph(n_steps: int, n_segs: int, n_paths: int):
 
 def _time_chain(jitted, args, reps: int, chain: int) -> float:
     """Best per-iteration wall time of a K-chained jitted function."""
+    per_iter, _ = _time_chain_raw(jitted, args, reps, chain)
+    return per_iter
+
+
+def _time_chain_raw(jitted, args, reps: int, chain: int):
+    """(per-iteration time, best raw wall time) of a K-chained call."""
     import jax
 
     out = jitted(*args)
@@ -95,7 +104,8 @@ def _time_chain(jitted, args, reps: int, chain: int) -> float:
         out = jitted(*args)
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
         times.append(time.perf_counter() - t0)
-    return max(min(times) - CALL_OVERHEAD_S, 1e-9) / chain
+    best = min(times)
+    return max(best - CALL_OVERHEAD_S, 1e-9) / chain, best
 
 
 def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
@@ -151,11 +161,12 @@ def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
         return None
 
 
-def measure_depth(dg, reps: int, chain: int, fused: bool = True) -> float:
+def measure_depth(dg, reps: int, chain: int, impl: str = "scan") -> float:
     """Best per-query time for the masked depth+uniq query.
 
-    ``fused`` uses the Pallas segmented-scan kernel (TPU); otherwise the
-    portable XLA pipeline.
+    ``impl``: "cross" = crossing-matrix MXU kernel (gather-free),
+    "scan" = fused Pallas segmented scan + boundary diffs (TPU),
+    "xla" = portable XLA pipeline.
     """
     import jax
     import jax.numpy as jnp
@@ -165,14 +176,20 @@ def measure_depth(dg, reps: int, chain: int, fused: bool = True) -> float:
         depth_uniq_from_cumsums,
         masked_depth_cumsums,
     )
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
 
     p_pad = -(-(dg.num_paths + 1) // 128) * 128
+    on_tpu = jax.default_backend() != "cpu"
 
     @jax.jit
-    def chained(dg, mask):
+    def chained(dg, mask, k):
         def body(i, carry):
             mask, acc = carry
-            if fused:
+            if impl == "cross":
+                depth, uniq = seg_depth_with_uniq_cross(
+                    dg, mask, pallas=on_tpu
+                )
+            elif impl == "scan":
                 csw, csf = masked_depth_cumsums(
                     dg.step_path_sorted, dg.run_start, mask
                 )
@@ -189,12 +206,26 @@ def measure_depth(dg, reps: int, chain: int, fused: bool = True) -> float:
             return mask, acc + depth[-1] + uniq[-1]
 
         _, acc = jax.lax.fori_loop(
-            0, chain, body, (mask, jnp.int32(0))
+            0, k, body, (mask, jnp.int32(0))
         )
         return acc
 
     mask = jnp.zeros(p_pad, dtype=jnp.int32).at[: dg.num_paths].set(1)
-    return _time_chain(chained, (dg, mask), reps, chain)
+    # Adaptive chain length: grow K (a dynamic loop bound — one
+    # compile) until the chained work clearly dominates the fixed
+    # dispatch overhead; fast kernels (the crossing matrix runs ~100x
+    # quicker than the scan) would otherwise vanish under it.
+    import sys
+
+    k = chain
+    while True:
+        per_iter, raw = _time_chain_raw(
+            chained, (dg, mask, jnp.int32(k)), reps, k
+        )
+        if raw >= CALL_OVERHEAD_S * 3 + 0.2 or k >= 65536:
+            print(f"# chain {k} (raw {raw:.3f}s)", file=sys.stderr)
+            return per_iter
+        k *= 8
 
 
 def main() -> None:
@@ -212,13 +243,27 @@ def main() -> None:
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
     print(f"# ingest {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    fused = jax.default_backend() != "cpu"
-    bytes_per_step = 16.0 if fused else BYTES_PER_STEP
+    from pollen_tpu.ops.depth import _cross_beats_scan
+
+    on_tpu = jax.default_backend() != "cpu"
+    impl = os.environ.get("POLLEN_BENCH_IMPL")
+    if impl is None:
+        if _cross_beats_scan(dg):
+            impl = "cross"
+        else:
+            impl = "scan" if on_tpu else "xla"
+    if impl == "cross":
+        bytes_per_step = 2.0 * int(dg.cross_matrix.size) / n_steps
+    elif impl == "scan":
+        bytes_per_step = 16.0
+    else:
+        bytes_per_step = BYTES_PER_STEP
+    print(f"# impl {impl} ({bytes_per_step:.1f} B/step)", file=sys.stderr)
 
     # The headline measurement first; the roofline calibration is
     # best-effort and time-boxed (a flaky tunnel must not sink the run).
     t0 = time.perf_counter()
-    per_query = measure_depth(dg, reps, chain, fused=fused)
+    per_query = measure_depth(dg, reps, chain, impl=impl)
     print(f"# depth {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     steps_per_s = n_steps / per_query
 

@@ -80,6 +80,10 @@ from .flatgfa import GraphArrays
         "run_count",
         "run_seg_bounds",
         "link_seg_bounds",
+        "cross_matrix",
+        "cross_over_seg",
+        "cross_over_path",
+        "cross_over_delta",
     ],
     meta_fields=["num_segments", "num_paths"],
 )
@@ -110,6 +114,15 @@ class DeviceGraph:
 
     # Link-endpoint histogram index (for degree): endpoints sorted by seg.
     link_seg_bounds: jax.Array  # int32[N+1]
+
+    # Dense crossing matrix (kernels/crossmat.py): A[p, n] = crossings
+    # of path p over segment n, bf16, counts clipped at 256 with the
+    # remainder in the int32 COO fixup below. Built at ingest when it
+    # fits the size budget; empty (0, 0) otherwise.
+    cross_matrix: jax.Array  # bf16[P_pad, N_pad] or (0, 0)
+    cross_over_seg: jax.Array  # int32[K]
+    cross_over_path: jax.Array  # int32[K]
+    cross_over_delta: jax.Array  # int32[K]
 
     num_segments: int
     num_paths: int
@@ -148,13 +161,21 @@ def auto_platform(num_steps: int) -> None:
 
 
 def build_device_graph(
-    g: GraphArrays, device=None, minimal: bool = False
+    g: GraphArrays,
+    device=None,
+    minimal: bool = False,
+    cross_matrix: str = "auto",
 ) -> DeviceGraph:
     """Ingest an arena: precompute the sort index and ship tensors to HBM.
 
     ``minimal=True`` ships only the sorted-index tensors used by the
     depth kernels (benchmarks; avoids paying transfer cost for pools the
     measured kernel never reads).
+
+    ``cross_matrix``: "auto" builds the dense crossing matrix (gather-
+    free masked depth, kernels/crossmat.py) when it fits the
+    POLLEN_CROSS_BUDGET_MB budget (default 256); "always"/"never"
+    override.
     """
     n, p, s = g.num_segments, g.num_paths, g.num_steps
 
@@ -189,10 +210,38 @@ def build_device_graph(
             seg_sorted[starts], np.arange(n + 1, dtype=np.int64)
         ).astype(np.int32)
     else:
+        starts = np.zeros(0, dtype=np.int32)
         run_start = np.zeros(0, dtype=np.int32)
         run_path = np.zeros(0, dtype=np.int32)
         run_count = np.zeros(0, dtype=np.int32)
         run_seg_bounds = np.zeros(n + 1, dtype=np.int32)
+
+    # Dense crossing matrix: densify the (still unpadded) run-level
+    # index when the budget allows (see kernels/crossmat.py).
+    import os
+
+    from .kernels.crossmat import CLIP, LANES, SEG_BLOCK
+
+    p_pad_m = -(-max(p, 1) // LANES) * LANES
+    n_pad_m = -(-max(n, 1) // SEG_BLOCK) * SEG_BLOCK
+    budget = float(os.environ.get("POLLEN_CROSS_BUDGET_MB", "256")) * 2**20
+    build_cross = s > 0 and p > 0 and n > 0 and cross_matrix != "never"
+    if cross_matrix == "auto" and p_pad_m * n_pad_m * 2 > budget:
+        build_cross = False
+    if build_cross:
+        run_seg = seg_sorted[starts]
+        a = np.zeros((p_pad_m, n_pad_m), np.float32)
+        a[run_path, run_seg] = np.minimum(run_count, CLIP)
+        over = np.flatnonzero(run_count > CLIP)
+        cross = a.astype(jnp.bfloat16)
+        cross_over_seg = run_seg[over].astype(np.int32)
+        cross_over_path = run_path[over].astype(np.int32)
+        cross_over_delta = (run_count[over] - CLIP).astype(np.int32)
+    else:
+        cross = np.zeros((0, 0), jnp.bfloat16)
+        cross_over_seg = cross_over_path = cross_over_delta = np.zeros(
+            0, np.int32
+        )
 
     # Pad the sorted and run indexes to the Pallas block size: pad
     # entries use a sentinel path id (= p, masked to 0) / zero counts,
@@ -247,6 +296,10 @@ def build_device_graph(
         run_count=put(jnp.asarray(run_count)) if not minimal else empty32,
         run_seg_bounds=put(jnp.asarray(run_seg_bounds)),
         link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
+        cross_matrix=put(jnp.asarray(cross)),
+        cross_over_seg=put(jnp.asarray(cross_over_seg)),
+        cross_over_path=put(jnp.asarray(cross_over_path)),
+        cross_over_delta=put(jnp.asarray(cross_over_delta)),
         num_segments=n,
         num_paths=p,
     )

@@ -8,6 +8,7 @@ per (segment, path) group — both scatter-free (see pollen_tpu.device).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -121,6 +122,57 @@ def seg_depth_with_uniq_fused(
     return depth_uniq_from_cumsums(csw, csf, dg.seg_bounds)
 
 
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def seg_depth_with_uniq_cross(
+    dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) via the dense crossing matrix: MXU mat-vecs
+    with no gathers and no boundary stage (kernels/crossmat.py). The
+    int32 COO fixup restores counts clipped by the bf16 store."""
+    from ..kernels.crossmat import (
+        masked_cross_depth,
+        masked_cross_depth_xla,
+    )
+
+    p_pad = dg.cross_matrix.shape[0]
+    m = (
+        jnp.zeros(p_pad, jnp.int32)
+        .at[: dg.num_paths]
+        .set(path_mask.astype(jnp.int32)[: dg.num_paths])
+    )
+    fn = masked_cross_depth if pallas else masked_cross_depth_xla
+    depth, uniq = fn(dg.cross_matrix, m)
+    depth = depth.at[dg.cross_over_seg].add(
+        dg.cross_over_delta * m[dg.cross_over_path]
+    )
+    return depth[: dg.num_segments], uniq[: dg.num_segments]
+
+
+# Equivalent streamed bytes per segment for the scan family's boundary
+# stage (four N-sized gathers; XLA's TPU gather runs ~30x below the
+# streaming rate, measured on v5e — see docs/benchmarks.md).
+_BOUNDARY_EQUIV_BYTES = 128
+
+
+def _cross_beats_scan(dg: DeviceGraph) -> bool:
+    """Static cost model: stream the crossing matrix (2 B/cell, no
+    boundary stage) only when that moves fewer equivalent bytes than
+    the cheapest scan-family kernel (16 B/element over steps or runs,
+    plus the boundary gathers) — all shapes, so decidable at trace
+    time."""
+    if dg.cross_matrix.size == 0:
+        return False
+    boundary = _BOUNDARY_EQUIV_BYTES * dg.num_segments
+    cross_bytes = 2 * dg.cross_matrix.size
+    scan_bytes = 16 * dg.padded_steps + boundary
+    run_bytes = (
+        16 * dg.run_path.shape[0] + boundary
+        if dg.run_path.shape[0]
+        else 1 << 62
+    )
+    return cross_bytes < min(scan_bytes, run_bytes)
+
+
 @jax.jit
 def seg_depth_with_uniq_batch(
     dg: DeviceGraph, path_masks: jax.Array
@@ -128,11 +180,27 @@ def seg_depth_with_uniq_batch(
     """Many subset-depth queries at once: ``path_masks`` is bool[Q, P],
     returns (depth, uniq) of shape int32[Q, N].
 
-    Batching is a vmap over the run-level kernel — Q queries share one
-    pass over the run index, so amortized cost per query approaches the
-    boundary-diff stage alone. This is the shape production serving
-    wants: one resident graph, a stream of subset queries.
+    With the crossing matrix resident this is two MXU matmuls,
+    ``masks @ A`` — the read of A amortizes across all Q queries.
+    Otherwise it is a vmap over the run-level kernel. This is the shape
+    production serving wants: one resident graph, a stream of subset
+    queries.
     """
+    if dg.cross_matrix.size:
+        from ..kernels.crossmat import batched_cross_depth
+
+        p_pad = dg.cross_matrix.shape[0]
+        q = path_masks.shape[0]
+        m = (
+            jnp.zeros((q, p_pad), jnp.int32)
+            .at[:, : dg.num_paths]
+            .set(path_masks.astype(jnp.int32)[:, : dg.num_paths])
+        )
+        depth, uniq = batched_cross_depth(dg.cross_matrix, m)
+        depth = depth.at[:, dg.cross_over_seg].add(
+            dg.cross_over_delta[None, :] * m[:, dg.cross_over_path]
+        )
+        return depth[:, : dg.num_segments], uniq[:, : dg.num_segments]
     return jax.vmap(seg_depth_with_uniq_runs, in_axes=(None, 0))(
         dg, path_masks
     )
@@ -218,7 +286,9 @@ def run_seg_depth(
         mask = jnp.asarray(path_mask_for(g, subset_paths))
         on_tpu = jax.default_backend() not in ("cpu",)
         r, s = dg.run_path.shape[0], dg.padded_steps
-        if on_tpu and r and r * 8 < s:
+        if _cross_beats_scan(dg):
+            depth, uniq = seg_depth_with_uniq_cross(dg, mask, pallas=on_tpu)
+        elif on_tpu and r and r * 8 < s:
             # Heavy crossing duplication: the run-level kernel touches
             # far fewer elements than the step stream.
             depth, uniq = seg_depth_with_uniq_runs_fused(dg, mask)

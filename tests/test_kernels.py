@@ -100,6 +100,78 @@ def test_fused_path_matches_xla_on_fixture(graph_path):
     np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_x))
 
 
+def test_cross_matrix_matches_xla(graph_path):
+    """Crossing-matrix depth (XLA dots + Pallas interpret) vs the
+    masked-scan pipeline."""
+    from pollen_tpu.kernels.crossmat import masked_cross_depth
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g, cross_matrix="always")
+    assert dg.cross_matrix.size
+    rng = np.random.default_rng(13)
+    for _ in range(2):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+        d_c, u_c = seg_depth_with_uniq_cross(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_c), np.asarray(u_x))
+
+        p_pad = dg.cross_matrix.shape[0]
+        m = np.zeros(p_pad, np.int32)
+        m[: dg.num_paths] = mask
+        d_p, u_p = masked_cross_depth(
+            dg.cross_matrix, jnp.asarray(m), interpret=True
+        )
+        d_p = d_p.at[dg.cross_over_seg].add(
+            dg.cross_over_delta * jnp.asarray(m)[dg.cross_over_path]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_p)[: dg.num_segments], np.asarray(d_x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(u_p)[: dg.num_segments], np.asarray(u_x)
+        )
+
+
+def test_cross_matrix_overflow_fixup():
+    """A (path, segment) pair crossing more than 256 times exercises
+    the bf16 clip + int32 COO remainder."""
+    from pollen_tpu.flatgfa import parse_gfa
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
+
+    steps = ",".join(["1+", "2-"] * 300)
+    text = (
+        f"S\t1\tAC\nS\t2\tGG\nS\t3\tT\n"
+        f"P\tbig\t{steps}\t*\nP\tsmall\t3+,1-\t*\n"
+    ).encode()
+    dg = build_device_graph(parse_gfa(text), cross_matrix="always")
+    assert dg.cross_over_seg.size == 2  # both segment 1 and 2 overflow
+    for mask in ([1, 1], [1, 0], [0, 1], [0, 0]):
+        m = jnp.asarray(np.array(mask, bool))
+        d_c, u_c = seg_depth_with_uniq_cross(dg, m)
+        d_x, u_x = seg_depth_with_uniq_masked(dg, m)
+        np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_c), np.asarray(u_x))
+
+
+def test_cross_matrix_batch(graph_path):
+    from pollen_tpu.ops.depth import (
+        seg_depth_with_uniq_batch,
+        seg_depth_with_uniq_masked,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g, cross_matrix="always")
+    rng = np.random.default_rng(17)
+    masks = rng.integers(0, 2, (4, dg.num_paths)).astype(bool)
+    d_b, u_b = seg_depth_with_uniq_batch(dg, jnp.asarray(masks))
+    for q in range(masks.shape[0]):
+        d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(masks[q]))
+        np.testing.assert_array_equal(np.asarray(d_b[q]), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_b[q]), np.asarray(u_x))
+
+
 def test_run_level_kernel_matches_xla(graph_path):
     """runscan (interpret mode) vs the XLA run-level pipeline."""
     from pollen_tpu.kernels.runscan import masked_run_cumsums
