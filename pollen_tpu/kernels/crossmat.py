@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 
 LANES = 128
-SEG_BLOCK = 512  # segments per grid step (lane-dim tile of A)
+# Segments per grid step (lane-dim tile of A). Tuned on v5e: 512 ->
+# 330 GB/s, 2048 -> 674, 4096 -> 717 (87% of the 819 GB/s HBM peak);
+# larger tiles plateau.
+SEG_BLOCK = 4096
 CLIP = 256  # largest count stored in bf16 exactly
 
 
@@ -47,8 +50,10 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Mosaic (this build) rejects bf16 comparisons; compare in f32.
-    ind = (a.astype(jnp.float32) > jnp.float32(0)).astype(jnp.bfloat16)
+    # Indicator without a comparison: counts are integers >= 0, so
+    # min(a, 1) is exact — and Mosaic (this build) rejects bf16
+    # compares outright.
+    ind = jnp.minimum(a, jnp.bfloat16(1))
     uniq = jax.lax.dot_general(
         m,
         ind,

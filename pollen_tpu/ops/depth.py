@@ -140,7 +140,11 @@ def seg_depth_with_uniq_cross(
         .at[: dg.num_paths]
         .set(path_mask.astype(jnp.int32)[: dg.num_paths])
     )
-    fn = masked_cross_depth if pallas else masked_cross_depth_xla
+    # The kernel holds a (p_pad, SEG_BLOCK) tile of A in VMEM; very
+    # wide path dimensions would blow the budget — use the XLA dots.
+    fn = masked_cross_depth if pallas and p_pad <= 4096 else (
+        masked_cross_depth_xla
+    )
     depth, uniq = fn(dg.cross_matrix, m)
     depth = depth.at[dg.cross_over_seg].add(
         dg.cross_over_delta * m[dg.cross_over_path]
