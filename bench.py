@@ -114,6 +114,8 @@ def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
     The xor in the loop body keeps the reduction from being factored
     through the chain; the scalar sum keeps the host sync tiny
     (device->host through this environment's tunnel runs at ~30 MB/s).
+    The chain grows adaptively (dynamic loop bound, one compile) until
+    the streamed work clearly dominates the fixed dispatch overhead.
     """
     import jax
     import jax.numpy as jnp
@@ -121,15 +123,22 @@ def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
     x = jnp.ones(n_steps, dtype=jnp.int32)
 
     @jax.jit
-    def chained(x):
+    def chained(x, k):
         out = jax.lax.fori_loop(
-            0, chain, lambda i, x: (x * 3 + 1) ^ (x >> 1), x
+            0, k, lambda i, x: (x * 3 + 1) ^ (x >> 1), x
         )
         return jnp.sum(out)
 
-    per_iter = _time_chain(chained, (x,), reps, chain)
-    if per_iter * chain < CALL_OVERHEAD_S:
-        return 0.0  # compute indistinguishable from dispatch overhead
+    k = chain
+    while True:
+        per_iter, raw = _time_chain_raw(
+            chained, (x, jnp.int32(k)), reps, k
+        )
+        if raw >= CALL_OVERHEAD_S * 3 + 0.2 or k >= 2**21:
+            break
+        k *= 8
+    if raw < CALL_OVERHEAD_S * 2:
+        return 0.0  # still indistinguishable from dispatch overhead
     return n_steps * 8 / per_iter  # 4B read + 4B write per element
 
 
@@ -268,10 +277,11 @@ def main() -> None:
     steps_per_s = n_steps / per_query
 
     t0 = time.perf_counter()
-    # Long chain: the elementwise pass must dwarf the ~30 ms dispatch
-    # overhead for the subtraction to mean anything.
+    # The streamed array must exceed VMEM (~128 MB on v5e) or XLA keeps
+    # the loop-carried value on-chip and the "roofline" reads 4+ TB/s;
+    # 2^25 int32 (128 MB moved twice per iteration) measures real HBM.
     roofline = _roofline_subprocess(
-        min(n_steps, 2**21),
+        2**25,
         reps,
         64,
         budget_s=int(os.environ.get("POLLEN_BENCH_ROOFLINE_BUDGET", 150)),

@@ -303,6 +303,84 @@ def shard_degree_inputs(dg: DeviceGraph, mesh: Mesh):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sharded crossing-matrix depth (tensor-parallel over the segment axis)
+# ---------------------------------------------------------------------------
+
+
+def shard_cross_inputs(dg: DeviceGraph, mesh: Mesh):
+    """Lay the crossing matrix out over the mesh: columns (segments)
+    sharded across every device, overflow COO replicated.
+
+    Returns (cross, over_seg, over_path, over_delta, col_width) or None
+    when the graph has no crossing matrix. Column counts are padded so
+    every device gets an equal, 128-aligned slice.
+    """
+    if dg.cross_matrix.size == 0:
+        return None
+    a = np.asarray(dg.cross_matrix)
+    n_dev = mesh.size
+    p_pad, n_pad = a.shape
+    width = -(-n_pad // (n_dev * 128)) * 128
+    total = width * n_dev
+    if total > n_pad:
+        a = np.concatenate(
+            [a, np.zeros((p_pad, total - n_pad), a.dtype)], axis=1
+        )
+    col_shard = NamedSharding(mesh, P(None, STEP_AXES))
+    repl = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(a), col_shard),
+        jax.device_put(dg.cross_over_seg, repl),
+        jax.device_put(dg.cross_over_path, repl),
+        jax.device_put(dg.cross_over_delta, repl),
+        width,
+    )
+
+
+def sharded_cross_depth_fn(mesh: Mesh):
+    """Mesh-wide masked (depth, uniq) over the sharded crossing matrix.
+
+    Tensor parallelism in its purest form: each device computes the
+    mat-vec for its own segment columns; outputs stay segment-sharded
+    and NO collective runs at all (the mask is replicated, the overflow
+    fixup is range-filtered locally with dropped out-of-range scatters).
+    Scaling is linear by construction — ICI carries nothing.
+    """
+
+    @jax.jit
+    def query(cross, over_seg, over_path, over_delta, mask):
+        def worker(a, over_seg, over_path, over_delta, mask):
+            idx = jax.lax.axis_index(STEP_AXES)
+            width = a.shape[1]
+            m = mask.astype(jnp.float32)
+            af = a.astype(jnp.float32)
+            depth = jnp.dot(m, af, preferred_element_type=jnp.float32)
+            uniq = jnp.dot(
+                m,
+                jnp.minimum(af, 1.0),
+                preferred_element_type=jnp.float32,
+            )
+            depth = depth.astype(jnp.int32)
+            uniq = uniq.astype(jnp.int32)
+            # Overflow remainders for my column range only: shifted
+            # indices outside [0, width) are dropped by the scatter.
+            local = over_seg - idx * width
+            depth = depth.at[local].add(
+                over_delta * mask[over_path], mode="drop"
+            )
+            return depth, uniq
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(None, STEP_AXES), P(), P(), P(), P()),
+            out_specs=(P(STEP_AXES), P(STEP_AXES)),
+        )(cross, over_seg, over_path, over_delta, mask)
+
+    return query
+
+
 def full_mask(num_paths: int) -> jax.Array:
     """An all-paths mask (with the padding sentinel zeroed)."""
     return jnp.concatenate(
