@@ -60,8 +60,10 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    depth_ref[:] = depth.astype(jnp.int32)
-    uniq_ref[:] = uniq.astype(jnp.int32)
+    # Only lane-row 0 of the (8, SEG_BLOCK) dot carries the mask's
+    # result; writing just that row saves 7/8ths of the output traffic.
+    depth_ref[:] = depth[:1, :].astype(jnp.int32)
+    uniq_ref[:] = uniq[:1, :].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -84,7 +86,7 @@ def masked_cross_depth(
         (p_pad, SEG_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     o_block = pl.BlockSpec(
-        (8, SEG_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        (1, SEG_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     # Trace with x64 off: int64 grid literals break Mosaic lowering.
     with jax.enable_x64(False):
@@ -94,8 +96,8 @@ def masked_cross_depth(
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
             out_specs=(o_block, o_block),
             out_shape=(
-                jax.ShapeDtypeStruct((8, n_pad), jnp.int32),
-                jax.ShapeDtypeStruct((8, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             ),
             interpret=interpret,
         )(m, cross)
