@@ -310,17 +310,45 @@ def build_device_graph(
 # ---------------------------------------------------------------------------
 
 
+def boundary_values(csum: jax.Array, bounds: jax.Array) -> jax.Array:
+    """``exclusive_csum[bounds]`` — the gather at the heart of every
+    boundary-difference reduction.
+
+    On TPU, XLA lowers a 1-D gather poorly; indexing a (rows, 128)
+    reshape by (idx // 128, idx % 128) measures ~1.7x faster at the
+    benchmark's N (one gather of N+1 instead of two of N is another
+    ~1.3x, so callers should gather once and diff).
+    """
+    if jax.default_backend() == "cpu":
+        padded = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+        return padded[bounds]
+    extra = -(csum.shape[0] + 1) % 128
+    padded = jnp.concatenate(
+        [
+            jnp.zeros((1,), csum.dtype),
+            csum,
+            jnp.zeros((extra,), csum.dtype),
+        ]
+    ).reshape(-1, 128)
+    return padded[bounds // 128, bounds % 128]
+
+
+def boundary_diff(csum: jax.Array, bounds: jax.Array) -> jax.Array:
+    """Per-range sums of the sequence whose inclusive cumsum is
+    ``csum``, for contiguous ranges [bounds[i], bounds[i+1])."""
+    v = boundary_values(csum, bounds)
+    return v[1:] - v[:-1]
+
+
 def bounded_segment_sum(
     weights: jax.Array, bounds: jax.Array
 ) -> jax.Array:
     """Sum ``weights`` within each [bounds[i], bounds[i+1]) range.
 
     ``weights`` must already be ordered so ranges are contiguous. One
-    cumsum + two gathers: bandwidth-bound, scatter-free.
+    cumsum + one boundary gather: bandwidth-bound, scatter-free.
     """
-    csum = jnp.cumsum(weights)
-    padded = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
-    return padded[bounds[1:]] - padded[bounds[:-1]]
+    return boundary_diff(jnp.cumsum(weights), bounds)
 
 
 def first_in_group_mask(

@@ -242,8 +242,6 @@ def depth_uniq_from_cumsums(
     csw: jax.Array, csf: jax.Array, seg_bounds: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Boundary-difference stage: per-segment (depth, uniq)."""
-    padded_w = jnp.concatenate([jnp.zeros((1,), csw.dtype), csw])
-    padded_f = jnp.concatenate([jnp.zeros((1,), csf.dtype), csf])
-    depth = padded_w[seg_bounds[1:]] - padded_w[seg_bounds[:-1]]
-    uniq = padded_f[seg_bounds[1:]] - padded_f[seg_bounds[:-1]]
-    return depth, uniq
+    from ..device import boundary_diff
+
+    return boundary_diff(csw, seg_bounds), boundary_diff(csf, seg_bounds)

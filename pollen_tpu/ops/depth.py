@@ -93,10 +93,10 @@ def seg_depth_with_uniq_runs_fused(
     cswc, csw = masked_run_cumsums(
         dg.run_path, dg.run_count, mask_padded
     )
-    pad_wc = jnp.concatenate([jnp.zeros((1,), cswc.dtype), cswc])
-    pad_w = jnp.concatenate([jnp.zeros((1,), csw.dtype), csw])
-    depth = pad_wc[dg.run_seg_bounds[1:]] - pad_wc[dg.run_seg_bounds[:-1]]
-    uniq = pad_w[dg.run_seg_bounds[1:]] - pad_w[dg.run_seg_bounds[:-1]]
+    from ..device import boundary_diff
+
+    depth = boundary_diff(cswc, dg.run_seg_bounds)
+    uniq = boundary_diff(csw, dg.run_seg_bounds)
     return depth, uniq
 
 
