@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", metavar="COMMAND")
 
     sub.add_parser("paths", help="list the paths")
+    sub.add_parser(
+        "serve",
+        help="answer streamed query lines over the resident graph "
+        "(one CLI-grammar command per stdin line; responses framed "
+        "with ##end)",
+    )
     sub.add_parser("norm", help="emit the graph in normalized order")
     sub.add_parser("toc", help="print the pool table of contents").add_argument(
         "-b", "--bytes", action="store_true", help="sizes in bytes"
@@ -266,15 +272,80 @@ def _main(argv: Optional[List[str]] = None) -> None:
     # accelerator pays seconds of compile/transfer latency for nothing).
     _choose_platform(g)
 
-    if args.command is None:
-        if not _store(args, g):
-            sys.stdout.write(emit_gfa(g, order="preserved"))
+    if args.command == "serve":
+        _serve(parser, args, g)
         return
 
+    dg_cache: list = []
+
+    def make_dg():
+        if not dg_cache:
+            from .device import build_device_graph
+
+            dg_cache.append(build_device_graph(g))
+        return dg_cache[0]
+
+    _run_command(parser, args, g, sys.stdout, make_dg)
+
+
+def _serve(parser: argparse.ArgumentParser, args, g: GraphArrays) -> None:
+    """Query server: the graph (and its device index) stays resident
+    while line-oriented requests stream on stdin.
+
+    Each request line is a command in the same grammar as the CLI
+    (e.g. ``depth -d -s subset.txt``); the response is the command's
+    normal output followed by a frame line ``##end\\tok`` or
+    ``##end\\terror\\t<message>``. This is the production serving
+    shape: parse + ingest + compile once, answer many queries (the
+    crossing-matrix index makes each masked-depth answer one MXU
+    pass).
+    """
+    import shlex
+
+    dg_cache: list = []
+
+    def make_dg():
+        if not dg_cache:
+            from .device import build_device_graph
+
+            dg_cache.append(build_device_graph(g))
+        return dg_cache[0]
+
     out = sys.stdout
+    blocked = {"serve", "seq-export", "seq-import", "bench"}
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            qargs = parser.parse_args(shlex.split(line))
+            if qargs.command in blocked:
+                raise ValueError(
+                    f"command {qargs.command!r} is not served"
+                )
+            if qargs.input or qargs.input_gfa:
+                raise ValueError("serve requests cannot re-load graphs")
+            _run_command(parser, qargs, g, out, make_dg)
+            out.write("##end\tok\n")
+        except BrokenPipeError:
+            raise
+        except SystemExit:
+            out.write("##end\terror\tbad request\n")
+        except Exception as exc:  # keep serving after a bad query
+            msg = str(exc).replace("\n", " ")[:500]
+            out.write(f"##end\terror\t{msg}\n")
+        out.flush()
+
+
+def _run_command(parser, args, g: GraphArrays, out, make_dg) -> None:
+    if args.command is None:
+        if not _store(args, g):
+            out.write(emit_gfa(g, order="preserved"))
+        return
+
     if args.command == "paths":
         for name in g.path_names():
-            print(name.decode())
+            out.write(name.decode() + "\n")
     elif args.command == "norm":
         out.write(emit_gfa(g, order="sorted"))
     elif args.command == "toc":
@@ -339,20 +410,15 @@ def _main(argv: Optional[List[str]] = None) -> None:
             include_links=args.links,
         )
     elif args.command == "flip":
-        _choose_platform(g)
-        from .device import build_device_graph
         from .ops.transform import flip
 
-        flipped, sort_keys = flip(g, build_device_graph(g))
+        flipped, sort_keys = flip(g, make_dg())
         _emit_transform(
             args, out, flipped, order="sorted", path_sort_keys=sort_keys
         )
     else:
-        # Device-graph-backed queries.
-        _choose_platform(g)
-        from .device import build_device_graph
-
-        dg = build_device_graph(g)
+        # Device-graph-backed queries (index built once, then cached).
+        dg = make_dg()
         if args.command == "depth":
             from .ops import depth as depth_op
 

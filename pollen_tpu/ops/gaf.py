@@ -286,6 +286,8 @@ def pangenotype_matrix(
 
 def run_pangenotype(g: GraphArrays, gaf_files: List[str]) -> str:
     matrix = pangenotype_matrix(g, gaf_files)
-    return "".join(
-        "".join("1" if v else "0" for v in row) + "\n" for row in matrix
+    digits = matrix.astype(np.uint8) + ord("0")
+    newlines = np.full((digits.shape[0], 1), ord("\n"), np.uint8)
+    return np.concatenate([digits, newlines], axis=1).tobytes().decode(
+        "ascii"
     )

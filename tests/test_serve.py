@@ -1,0 +1,71 @@
+"""fgfa-tpu serve: resident-graph query server over stdin/stdout."""
+
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+TINY = "tests/graphs/tiny.gfa"
+
+
+def _serve(requests: str) -> str:
+    result = subprocess.run(
+        [sys.executable, "-m", "pollen_tpu.cli", "-I", TINY, "serve"],
+        input=requests,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=180,
+    )
+    assert result.returncode == 0, result.stderr[-500:]
+    return result.stdout
+
+
+def _single(*argv: str) -> str:
+    result = subprocess.run(
+        [sys.executable, "-m", "pollen_tpu.cli", "-I", TINY, *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=180,
+    )
+    assert result.returncode == 0, result.stderr[-500:]
+    return result.stdout
+
+
+def test_serve_matches_single_shot():
+    out = _serve("depth -d\npaths\nstats -S\n")
+    frames = out.split("##end\tok\n")
+    assert len(frames) == 4 and frames[-1] == ""
+    assert frames[0] == _single("depth", "-d")
+    assert frames[1] == _single("paths")
+    assert frames[2] == _single("stats", "-S")
+
+
+def test_serve_subset_depth(tmp_path):
+    subset = tmp_path / "subset.txt"
+    subset.write_text("alpha\n")
+    out = _serve(f"depth -d -s {subset}\n")
+    assert out.endswith("##end\tok\n")
+    assert out[: -len("##end\tok\n")] == _single(
+        "depth", "-d", "-s", str(subset)
+    )
+
+
+def test_serve_survives_bad_requests():
+    out = _serve(
+        "depth --no-such-flag\n"  # argparse error
+        "serve\n"  # blocked command
+        "position -g nope\n"  # parse error of operands
+        "paths\n"
+    )
+    lines = out.splitlines()
+    errors = [ln for ln in lines if ln.startswith("##end\terror")]
+    assert len(errors) == 3
+    assert out.endswith("##end\tok\n")
+    assert "alpha" in out and "beta" in out
+
+
+def test_serve_blocks_reload():
+    out = _serve(f"-I {TINY} depth -d\n")
+    assert "##end\terror" in out and "re-load" in out
