@@ -262,7 +262,7 @@ def main() -> None:
         else:
             impl = "scan" if on_tpu else "xla"
     if impl == "cross":
-        bytes_per_step = 2.0 * int(dg.cross_matrix.size) / n_steps
+        bytes_per_step = float(int(dg.cross_matrix.size)) / n_steps
     elif impl == "scan":
         bytes_per_step = 16.0
     else:

@@ -220,25 +220,25 @@ def build_device_graph(
     # index when the budget allows (see kernels/crossmat.py).
     import os
 
-    from .kernels.crossmat import CLIP, LANES, SEG_BLOCK
+    from .kernels.crossmat import CLIP, LANES
 
     p_pad_m = -(-max(p, 1) // LANES) * LANES
-    n_pad_m = -(-max(n, 1) // SEG_BLOCK) * SEG_BLOCK
+    n_pad_m = -(-max(n, 1) // LANES) * LANES
     budget = float(os.environ.get("POLLEN_CROSS_BUDGET_MB", "256")) * 2**20
     build_cross = s > 0 and p > 0 and n > 0 and cross_matrix != "never"
-    if cross_matrix == "auto" and p_pad_m * n_pad_m * 2 > budget:
+    if cross_matrix == "auto" and p_pad_m * n_pad_m > budget:
         build_cross = False
     if build_cross:
         run_seg = seg_sorted[starts]
-        a = np.zeros((p_pad_m, n_pad_m), np.float32)
+        a = np.zeros((p_pad_m, n_pad_m), np.int8)
         a[run_path, run_seg] = np.minimum(run_count, CLIP)
         over = np.flatnonzero(run_count > CLIP)
-        cross = a.astype(jnp.bfloat16)
+        cross = a
         cross_over_seg = run_seg[over].astype(np.int32)
         cross_over_path = run_path[over].astype(np.int32)
         cross_over_delta = (run_count[over] - CLIP).astype(np.int32)
     else:
-        cross = np.zeros((0, 0), jnp.bfloat16)
+        cross = np.zeros((0, 0), np.int8)
         cross_over_seg = cross_over_path = cross_over_delta = np.zeros(
             0, np.int32
         )

@@ -5,8 +5,8 @@ matrix ``A[p, n] = number of steps of segment n on path p`` — the
 graph's crossing histogram. With it, the masked depth query is linear
 algebra, not data movement:
 
-    depth = mask @ A          (bp crossings per segment)
-    uniq  = mask @ (A > 0)    (distinct selected paths per segment)
+    depth = mask @ A          (crossings per segment)
+    uniq  = mask @ min(A, 1)  (distinct selected paths per segment)
 
 No gathers, no scatters, no scan: one streamed read of A feeding the
 MXU, with outputs landing directly at segment granularity (the
@@ -14,14 +14,17 @@ boundary-diff stage of the scan pipeline — XLA's slow TPU gather —
 disappears entirely). Batched queries become a real matmul,
 ``masks @ A``, amortizing the single read of A across Q masks.
 
-Exactness: A is stored bf16 with counts clipped at 256 (integers
-0..256 are exact in bf16); the rare (path, segment) pairs crossing
-more than 256 times carry their remainder in an int32 COO fixup
-applied after the matmul. Products are 0/1 x count and accumulation
-is f32 (exact below 2^24 = 16M crossings per segment).
+Exactness: A is stored **int8** — 1 byte per cell of HBM traffic —
+with counts clipped at 127; the rare (path, segment) pairs crossing
+more often carry their remainder in an int32 COO fixup applied after
+the matmul. Mosaic (this build) cannot lower int8 dots, so the kernel
+upcasts each VMEM tile to bf16 (integers <= 127 are exact) and
+accumulates in f32 (exact below 2^24 crossings per segment); HBM only
+ever sees the int8 bytes. Measured on v5e: 53 us for a 128 x 2^18
+matrix (627 GB/s of int8 cells) vs 94 us stored bf16.
 
 Reference semantics: flatgfa/src/ops/depth.rs:15-39. The dense form
-trades HBM capacity (2 bytes per (path, segment) cell) for a
+trades HBM capacity (1 byte per (path, segment) cell) for a
 gather-free query; device.py builds it only under a size budget.
 """
 
@@ -34,16 +37,29 @@ import jax
 import jax.numpy as jnp
 
 LANES = 128
-# Segments per grid step (lane-dim tile of A). Tuned on v5e: 512 ->
-# 330 GB/s, 2048 -> 674, 4096 -> 717 (87% of the 819 GB/s HBM peak);
-# larger tiles plateau.
-SEG_BLOCK = 4096
-CLIP = 256  # largest count stored in bf16 exactly
+# Widest lane-dim tile of A per grid step; narrowed when the path
+# dimension is large so a tile stays within the VMEM budget. Tuned on
+# v5e (int8, P=128): 4096 -> 62 us, 8192 -> 53 us per query.
+SEG_BLOCK = 8192
+# Elements per VMEM tile cap (int8 bytes): p_pad * tile <= this.
+_TILE_ELEMS = 8 * 2**20
+CLIP = 127  # largest count stored in int8
+
+
+def pick_seg_block(p_pad: int, n_pad: int) -> int:
+    """Largest tile width (power-of-two divisor of SEG_BLOCK) whose
+    (p_pad, width) int8 tile fits the VMEM budget."""
+    width = SEG_BLOCK
+    while width > LANES and (p_pad * width > _TILE_ELEMS or n_pad % width):
+        width //= 2
+    return width
 
 
 def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
-    a = a_ref[:]  # (P_pad, SEG_BLOCK) bf16
-    m = mask_ref[:]  # (8, P_pad) bf16; row 0 is the mask
+    # Upcast the int8 tile to bf16 in VMEM (Mosaic rejects int8 dots);
+    # integers <= 127 are exact in bf16.
+    a = a_ref[:].astype(jnp.bfloat16)  # (P_pad, width)
+    m = mask_ref[:]  # (8, P_pad) bf16; row 0 = mask
     depth = jax.lax.dot_general(
         m,
         a,
@@ -60,15 +76,15 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Only lane-row 0 of the (8, SEG_BLOCK) dot carries the mask's
-    # result; writing just that row saves 7/8ths of the output traffic.
+    # Only lane-row 0 of the dot carries the mask's result; writing
+    # just that row saves 7/8ths of the output traffic.
     depth_ref[:] = depth[:1, :].astype(jnp.int32)
     uniq_ref[:] = uniq[:1, :].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def masked_cross_depth(
-    cross: jax.Array,  # bf16[P_pad, N_pad], N_pad % SEG_BLOCK == 0
+    cross: jax.Array,  # int8[P_pad, N_pad], N_pad % 128 == 0
     mask: jax.Array,  # int32/bool[P_pad] (0/1)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -77,22 +93,25 @@ def masked_cross_depth(
     from jax.experimental.pallas import tpu as pltpu
 
     p_pad, n_pad = cross.shape
-    assert n_pad % SEG_BLOCK == 0 and p_pad % 8 == 0
+    width = pick_seg_block(p_pad, n_pad)
+    assert n_pad % width == 0 and p_pad % 8 == 0
+    # The mask stays bf16: an (8, P) int8 block breaks the sublane
+    # tiling (int8 wants 32 sublanes) and reads garbage on hardware.
     m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
         mask.astype(jnp.bfloat16)
     )
 
     a_block = pl.BlockSpec(
-        (p_pad, SEG_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        (p_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     o_block = pl.BlockSpec(
-        (1, SEG_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     # Trace with x64 off: int64 grid literals break Mosaic lowering.
     with jax.enable_x64(False):
         depth, uniq = pl.pallas_call(
             _kernel,
-            grid=(n_pad // SEG_BLOCK,),
+            grid=(n_pad // width,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
             out_specs=(o_block, o_block),
             out_shape=(
@@ -113,7 +132,7 @@ def masked_cross_depth_xla(
     a = cross.astype(jnp.float32)
     depth = jnp.dot(m, a, preferred_element_type=jnp.float32)
     uniq = jnp.dot(
-        m, (a > 0).astype(jnp.float32), preferred_element_type=jnp.float32
+        m, jnp.minimum(a, 1.0), preferred_element_type=jnp.float32
     )
     return depth.astype(jnp.int32), uniq.astype(jnp.int32)
 
@@ -126,7 +145,9 @@ def batched_cross_depth(
     matmuls reading A once each — the serving shape (one resident
     graph, a stream of subset queries)."""
     m = masks.astype(jnp.bfloat16)
-    depth = jnp.dot(m, cross, preferred_element_type=jnp.float32)
-    ind = (cross > 0).astype(jnp.bfloat16)
-    uniq = jnp.dot(m, ind, preferred_element_type=jnp.float32)
+    a = cross.astype(jnp.bfloat16)
+    depth = jnp.dot(m, a, preferred_element_type=jnp.float32)
+    uniq = jnp.dot(
+        m, jnp.minimum(a, jnp.bfloat16(1)), preferred_element_type=jnp.float32
+    )
     return depth.astype(jnp.int32), uniq.astype(jnp.int32)

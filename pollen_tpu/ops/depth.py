@@ -128,7 +128,7 @@ def seg_depth_with_uniq_cross(
 ) -> Tuple[jax.Array, jax.Array]:
     """Masked (depth, uniq) via the dense crossing matrix: MXU mat-vecs
     with no gathers and no boundary stage (kernels/crossmat.py). The
-    int32 COO fixup restores counts clipped by the bf16 store."""
+    int32 COO fixup restores counts clipped by the int8 store."""
     from ..kernels.crossmat import (
         masked_cross_depth,
         masked_cross_depth_xla,
@@ -140,9 +140,10 @@ def seg_depth_with_uniq_cross(
         .at[: dg.num_paths]
         .set(path_mask.astype(jnp.int32)[: dg.num_paths])
     )
-    # The kernel holds a (p_pad, SEG_BLOCK) tile of A in VMEM; very
-    # wide path dimensions would blow the budget — use the XLA dots.
-    fn = masked_cross_depth if pallas and p_pad <= 4096 else (
+    # The kernel narrows its tile of A down to 128 lanes as the path
+    # dimension grows (crossmat.pick_seg_block); beyond 64k paths even
+    # the narrowest tile blows the VMEM budget — use the XLA dots.
+    fn = masked_cross_depth if pallas and p_pad <= 65536 else (
         masked_cross_depth_xla
     )
     depth, uniq = fn(dg.cross_matrix, m)
@@ -159,7 +160,7 @@ _BOUNDARY_EQUIV_BYTES = 128
 
 
 def _cross_beats_scan(dg: DeviceGraph) -> bool:
-    """Static cost model: stream the crossing matrix (2 B/cell, no
+    """Static cost model: stream the crossing matrix (1 B/cell int8, no
     boundary stage) only when that moves fewer equivalent bytes than
     the cheapest scan-family kernel (16 B/element over steps or runs,
     plus the boundary gathers) — all shapes, so decidable at trace
@@ -167,7 +168,7 @@ def _cross_beats_scan(dg: DeviceGraph) -> bool:
     if dg.cross_matrix.size == 0:
         return False
     boundary = _BOUNDARY_EQUIV_BYTES * dg.num_segments
-    cross_bytes = 2 * dg.cross_matrix.size
+    cross_bytes = dg.cross_matrix.size
     scan_bytes = 16 * dg.padded_steps + boundary
     run_bytes = (
         16 * dg.run_path.shape[0] + boundary
