@@ -143,7 +143,12 @@ def batched_cross_depth(
 ) -> Tuple[jax.Array, jax.Array]:
     """(depth, uniq) int32[Q, N_pad] for Q masks at once: two MXU
     matmuls reading A once each — the serving shape (one resident
-    graph, a stream of subset queries)."""
+    graph, a stream of subset queries).
+
+    Portable XLA form; note XLA materializes a full bf16 copy of the
+    int8 matrix, so on TPU prefer ``batched_cross_depth_pallas``,
+    which upcasts tile-by-tile in VMEM and keeps HBM traffic at
+    1 byte/cell."""
     m = masks.astype(jnp.bfloat16)
     a = cross.astype(jnp.bfloat16)
     depth = jnp.dot(m, a, preferred_element_type=jnp.float32)
@@ -151,3 +156,80 @@ def batched_cross_depth(
         m, jnp.minimum(a, jnp.bfloat16(1)), preferred_element_type=jnp.float32
     )
     return depth.astype(jnp.int32), uniq.astype(jnp.int32)
+
+
+def pick_batched_width(q_pad: int, p_pad: int, n_pad: int) -> int:
+    """Widest power-of-two tile (divisor of N_pad) whose per-step VMEM
+    footprint — int8 A tile + its bf16 upcast (3 B/cell) plus the f32
+    dot results and int32 outputs (16 B/cell over Q rows) — stays
+    under a conservative budget."""
+    width = SEG_BLOCK
+    while width > LANES and (
+        (3 * p_pad + 16 * q_pad) * width > 48 * 2**20 or n_pad % width
+    ):
+        width //= 2
+    return width
+
+
+def _batched_kernel(mask_ref, a_ref, depth_ref, uniq_ref):
+    a = a_ref[:].astype(jnp.bfloat16)  # (P_pad, width)
+    m = mask_ref[:]  # (Q_pad, P_pad) bf16
+    depth = jax.lax.dot_general(
+        m,
+        a,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ind = jnp.minimum(a, jnp.bfloat16(1))
+    uniq = jax.lax.dot_general(
+        m,
+        ind,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    depth_ref[:] = depth.astype(jnp.int32)
+    uniq_ref[:] = uniq.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_cross_depth_pallas(
+    cross: jax.Array,  # int8[P_pad, N_pad], N_pad % 128 == 0
+    masks: jax.Array,  # int32/bool[Q, P_pad]
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(depth, uniq) int32[Q, N_pad]: the Q-mask generalization of
+    ``masked_cross_depth`` — one streamed int8 read of A feeds both
+    dots for all Q queries."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_pad, n_pad = cross.shape
+    q = masks.shape[0]
+    q_pad = -(-max(q, 8) // 8) * 8
+    width = pick_batched_width(q_pad, p_pad, n_pad)
+    assert n_pad % width == 0 and p_pad % 8 == 0
+    m = (
+        jnp.zeros((q_pad, p_pad), jnp.bfloat16)
+        .at[:q]
+        .set(masks.astype(jnp.bfloat16))
+    )
+
+    a_block = pl.BlockSpec(
+        (p_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    o_block = pl.BlockSpec(
+        (q_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    with jax.enable_x64(False):
+        depth, uniq = pl.pallas_call(
+            _batched_kernel,
+            grid=(n_pad // width,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
+            out_specs=(o_block, o_block),
+            out_shape=(
+                jax.ShapeDtypeStruct((q_pad, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((q_pad, n_pad), jnp.int32),
+            ),
+            interpret=interpret,
+        )(m, cross)
+    return depth[:q], uniq[:q]

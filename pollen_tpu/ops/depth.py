@@ -192,7 +192,10 @@ def seg_depth_with_uniq_batch(
     queries.
     """
     if dg.cross_matrix.size:
-        from ..kernels.crossmat import batched_cross_depth
+        from ..kernels.crossmat import (
+            batched_cross_depth,
+            batched_cross_depth_pallas,
+        )
 
         p_pad = dg.cross_matrix.shape[0]
         q = path_masks.shape[0]
@@ -201,7 +204,14 @@ def seg_depth_with_uniq_batch(
             .at[:, : dg.num_paths]
             .set(path_masks.astype(jnp.int32)[:, : dg.num_paths])
         )
-        depth, uniq = batched_cross_depth(dg.cross_matrix, m)
+        # On TPU the Pallas kernel upcasts int8 tiles in VMEM; the XLA
+        # dots would first materialize a full bf16 copy of A in HBM.
+        fn = (
+            batched_cross_depth_pallas
+            if jax.default_backend() not in ("cpu",) and p_pad <= 65536
+            else batched_cross_depth
+        )
+        depth, uniq = fn(dg.cross_matrix, m)
         depth = depth.at[:, dg.cross_over_seg].add(
             dg.cross_over_delta[None, :] * m[:, dg.cross_over_path]
         )

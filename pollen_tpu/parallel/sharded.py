@@ -353,12 +353,14 @@ def sharded_cross_depth_fn(mesh: Mesh):
         def worker(a, over_seg, over_path, over_delta, mask):
             idx = jax.lax.axis_index(STEP_AXES)
             width = a.shape[1]
-            m = mask.astype(jnp.float32)
-            af = a.astype(jnp.float32)
+            # bf16 operands (exact: mask is 0/1, counts clip at 127)
+            # with f32 accumulation keep the dots on the MXU.
+            m = mask.astype(jnp.bfloat16)
+            af = a.astype(jnp.bfloat16)
             depth = jnp.dot(m, af, preferred_element_type=jnp.float32)
             uniq = jnp.dot(
                 m,
-                jnp.minimum(af, 1.0),
+                jnp.minimum(af, jnp.bfloat16(1)),
                 preferred_element_type=jnp.float32,
             )
             depth = depth.astype(jnp.int32)

@@ -135,8 +135,8 @@ def test_cross_matrix_matches_xla(graph_path):
 
 
 def test_cross_matrix_overflow_fixup():
-    """A (path, segment) pair crossing more than 256 times exercises
-    the bf16 clip + int32 COO remainder."""
+    """A (path, segment) pair crossing more than CLIP times exercises
+    the int8 clip + int32 COO remainder."""
     from pollen_tpu.flatgfa import parse_gfa
     from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
 
@@ -170,6 +170,27 @@ def test_cross_matrix_batch(graph_path):
         d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(masks[q]))
         np.testing.assert_array_equal(np.asarray(d_b[q]), np.asarray(d_x))
         np.testing.assert_array_equal(np.asarray(u_b[q]), np.asarray(u_x))
+
+
+def test_cross_matrix_batch_pallas(graph_path):
+    """The Q-mask Pallas kernel (interpret mode) vs the XLA dots."""
+    from pollen_tpu.kernels.crossmat import (
+        batched_cross_depth,
+        batched_cross_depth_pallas,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g, cross_matrix="always")
+    p_pad = dg.cross_matrix.shape[0]
+    rng = np.random.default_rng(23)
+    masks = np.zeros((5, p_pad), np.int32)
+    masks[:, : dg.num_paths] = rng.integers(0, 2, (5, dg.num_paths))
+    d_x, u_x = batched_cross_depth(dg.cross_matrix, jnp.asarray(masks))
+    d_p, u_p = batched_cross_depth_pallas(
+        dg.cross_matrix, jnp.asarray(masks), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(u_p), np.asarray(u_x))
 
 
 def test_run_level_kernel_matches_xla(graph_path):
