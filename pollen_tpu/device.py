@@ -81,11 +81,10 @@ from .flatgfa import GraphArrays
         "run_seg_bounds",
         "link_seg_bounds",
         "cross_matrix",
-        "cross_over_seg",
-        "cross_over_path",
-        "cross_over_delta",
+        "cross_res",
+        "cross_res_seg",
     ],
-    meta_fields=["num_segments", "num_paths"],
+    meta_fields=["num_segments", "num_paths", "cross_nibble"],
 )
 @dataclasses.dataclass
 class DeviceGraph:
@@ -116,16 +115,22 @@ class DeviceGraph:
     link_seg_bounds: jax.Array  # int32[N+1]
 
     # Dense crossing matrix (kernels/crossmat.py): A[p, n] = crossings
-    # of path p over segment n, bf16, counts clipped at 256 with the
-    # remainder in the int32 COO fixup below. Built at ingest when it
-    # fits the size budget; empty (0, 0) otherwise.
-    cross_matrix: jax.Array  # bf16[P_pad, N_pad] or (0, 0)
-    cross_over_seg: jax.Array  # int32[K]
-    cross_over_path: jax.Array  # int32[K]
-    cross_over_delta: jax.Array  # int32[K]
+    # of path p over segment n. Nibble-packed uint8 (two path rows per
+    # byte, counts clipped at 15) or int8 (clipped at 127) — see
+    # ``cross_nibble``. Clipped remainders live in the dense residual
+    # sidecar: ``cross_res[p, k]`` holds count - clip for segment
+    # ``cross_res_seg[k]`` (crossings are Zipf-distributed, so the
+    # overflowing cells cluster in few segments; a dense dot + K-sized
+    # scatter beats a per-cell COO scatter). Sidecar padding columns
+    # carry segment id 2**30, dropped by the fixup scatter. Built at
+    # ingest when it fits the size budget; empty (0, 0) otherwise.
+    cross_matrix: jax.Array  # uint8[P_pad/2, N_pad] | int8[P_pad, N_pad]
+    cross_res: jax.Array  # int32[P_pad, K_pad] or (0, 0)
+    cross_res_seg: jax.Array  # int32[K_pad]
 
     num_segments: int
     num_paths: int
+    cross_nibble: bool = False
 
     @property
     def num_steps(self) -> int:
@@ -217,31 +222,60 @@ def build_device_graph(
         run_seg_bounds = np.zeros(n + 1, dtype=np.int32)
 
     # Dense crossing matrix: densify the (still unpadded) run-level
-    # index when the budget allows (see kernels/crossmat.py).
+    # index when the budget allows (see kernels/crossmat.py). Pick the
+    # cheaper of the two layouts per graph: nibble packing halves the
+    # matrix bytes but clips at 15, so duplicate-heavy graphs whose
+    # residual sidecar would outweigh the savings stay int8.
     import os
 
-    from .kernels.crossmat import CLIP, LANES
+    from .kernels.crossmat import (
+        CLIP,
+        CLIP_NIBBLE,
+        LANES,
+        RES_SENTINEL,
+    )
 
     p_pad_m = -(-max(p, 1) // LANES) * LANES
     n_pad_m = -(-max(n, 1) // LANES) * LANES
     budget = float(os.environ.get("POLLEN_CROSS_BUDGET_MB", "256")) * 2**20
     build_cross = s > 0 and p > 0 and n > 0 and cross_matrix != "never"
-    if cross_matrix == "auto" and p_pad_m * n_pad_m > budget:
+    run_seg = seg_sorted[starts]
+
+    def _sidecar_cols(clip: int):
+        over = np.flatnonzero(run_count > clip)
+        segs = np.unique(run_seg[over])
+        k_pad = -(-segs.size // LANES) * LANES if segs.size else 0
+        return over, segs, k_pad
+
+    over_n, segs_n, k_n = _sidecar_cols(CLIP_NIBBLE)
+    over_8, segs_8, k_8 = _sidecar_cols(CLIP)
+    nib_bytes = (p_pad_m // 2) * n_pad_m + p_pad_m * k_n * 4
+    i8_bytes = p_pad_m * n_pad_m + p_pad_m * k_8 * 4
+    use_nibble = nib_bytes <= i8_bytes
+    if cross_matrix == "auto" and min(nib_bytes, i8_bytes) > budget:
         build_cross = False
     if build_cross:
-        run_seg = seg_sorted[starts]
-        a = np.zeros((p_pad_m, n_pad_m), np.int8)
-        a[run_path, run_seg] = np.minimum(run_count, CLIP)
-        over = np.flatnonzero(run_count > CLIP)
-        cross = a
-        cross_over_seg = run_seg[over].astype(np.int32)
-        cross_over_path = run_path[over].astype(np.int32)
-        cross_over_delta = (run_count[over] - CLIP).astype(np.int32)
-    else:
-        cross = np.zeros((0, 0), np.int8)
-        cross_over_seg = cross_over_path = cross_over_delta = np.zeros(
-            0, np.int32
+        clip = CLIP_NIBBLE if use_nibble else CLIP
+        over, segs, k_pad = (
+            (over_n, segs_n, k_n) if use_nibble else (over_8, segs_8, k_8)
         )
+        a = np.zeros((p_pad_m, n_pad_m), np.int32)
+        a[run_path, run_seg] = np.minimum(run_count, clip)
+        if use_nibble:
+            cross = (a[0::2] | (a[1::2] << 4)).astype(np.uint8)
+        else:
+            cross = a.astype(np.int8)
+        cross_res = np.zeros((p_pad_m, k_pad), np.int32)
+        cross_res_seg = np.full(k_pad, RES_SENTINEL, np.int32)
+        if k_pad:
+            col = np.searchsorted(segs, run_seg[over])
+            cross_res[run_path[over], col] = run_count[over] - clip
+            cross_res_seg[: segs.size] = segs
+    else:
+        use_nibble = False
+        cross = np.zeros((0, 0), np.int8)
+        cross_res = np.zeros((0, 0), np.int32)
+        cross_res_seg = np.zeros(0, np.int32)
 
     # Pad the sorted and run indexes to the Pallas block size: pad
     # entries use a sentinel path id (= p, masked to 0) / zero counts,
@@ -297,11 +331,11 @@ def build_device_graph(
         run_seg_bounds=put(jnp.asarray(run_seg_bounds)),
         link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
         cross_matrix=put(jnp.asarray(cross)),
-        cross_over_seg=put(jnp.asarray(cross_over_seg)),
-        cross_over_path=put(jnp.asarray(cross_over_path)),
-        cross_over_delta=put(jnp.asarray(cross_over_delta)),
+        cross_res=put(jnp.asarray(cross_res)),
+        cross_res_seg=put(jnp.asarray(cross_res_seg)),
         num_segments=n,
         num_paths=p,
+        cross_nibble=use_nibble,
     )
 
 

@@ -14,18 +14,30 @@ boundary-diff stage of the scan pipeline — XLA's slow TPU gather —
 disappears entirely). Batched queries become a real matmul,
 ``masks @ A``, amortizing the single read of A across Q masks.
 
-Exactness: A is stored **int8** — 1 byte per cell of HBM traffic —
-with counts clipped at 127; the rare (path, segment) pairs crossing
-more often carry their remainder in an int32 COO fixup applied after
-the matmul. Mosaic (this build) cannot lower int8 dots, so the kernel
-upcasts each VMEM tile to bf16 (integers <= 127 are exact) and
-accumulates in f32 (exact below 2^24 crossings per segment); HBM only
-ever sees the int8 bytes. Measured on v5e: 53 us for a 128 x 2^18
-matrix (627 GB/s of int8 cells) vs 94 us stored bf16.
+Storage: counts clip at a small maximum and the clipped remainders
+move to a dense **residual sidecar** (device.py) — crossings follow a
+Zipf law, so the overflowing cells cluster in a few hundred popular
+segments; a (P_pad, K_pad) int32 matrix over just those segment
+columns restores exact depth with one tiny extra dot + a K-sized
+scatter instead of a per-cell COO scatter. Two on-device layouts:
+
+* **nibble** (default): two path rows per byte, counts clipped at 15
+  — 0.5 bytes of HBM per cell. The kernel splits each byte into
+  low/high nibbles, giving the unpacked rows in [0::2 | 1::2] order;
+  the *mask* is permuted to match (``fold_mask``), which leaves the
+  dot's result identical because the contraction is over paths.
+* **int8**: counts clipped at 127, 1 byte per cell — the fallback
+  when a graph's residual sidecar under nibble clipping would out-
+  weigh the packing savings.
+
+Mosaic (this build) cannot lower sub-int32 dots, so kernels upcast
+each VMEM tile to bf16 (integers <= 127 are exact) and accumulate in
+f32 (exact below 2^24 crossings per segment); HBM only ever sees the
+packed bytes.
 
 Reference semantics: flatgfa/src/ops/depth.rs:15-39. The dense form
-trades HBM capacity (1 byte per (path, segment) cell) for a
-gather-free query; device.py builds it only under a size budget.
+trades HBM capacity for a gather-free query; device.py builds it only
+under a size budget.
 """
 
 from __future__ import annotations
@@ -41,25 +53,50 @@ LANES = 128
 # dimension is large so a tile stays within the VMEM budget. Tuned on
 # v5e (int8, P=128): 4096 -> 62 us, 8192 -> 53 us per query.
 SEG_BLOCK = 8192
-# Elements per VMEM tile cap (int8 bytes): p_pad * tile <= this.
+# Elements per VMEM tile cap (unpacked cells): p_pad * tile <= this.
 _TILE_ELEMS = 8 * 2**20
-CLIP = 127  # largest count stored in int8
+CLIP = 127  # largest count stored per int8 cell
+CLIP_NIBBLE = 15  # largest count stored per nibble cell
+# Segment id of residual-sidecar padding columns: out of range for any
+# depth vector and any column shard, so mode="drop" scatters skip it.
+RES_SENTINEL = 2**30
 
 
 def pick_seg_block(p_pad: int, n_pad: int) -> int:
     """Largest tile width (power-of-two divisor of SEG_BLOCK) whose
-    (p_pad, width) int8 tile fits the VMEM budget."""
+    (p_pad, width) unpacked tile fits the VMEM budget."""
     width = SEG_BLOCK
     while width > LANES and (p_pad * width > _TILE_ELEMS or n_pad % width):
         width //= 2
     return width
 
 
-def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
-    # Upcast the int8 tile to bf16 in VMEM (Mosaic rejects int8 dots);
-    # integers <= 127 are exact in bf16.
-    a = a_ref[:].astype(jnp.bfloat16)  # (P_pad, width)
-    m = mask_ref[:]  # (8, P_pad) bf16; row 0 = mask
+def fold_mask(mask: jax.Array, axis: int = 0) -> jax.Array:
+    """Reorder a path-indexed vector (or the path axis of a batch of
+    masks) into the row order the nibble unpack produces: even source
+    rows first (low nibbles), then odd rows (high nibbles)."""
+    even = jax.lax.slice_in_dim(mask, 0, None, stride=2, axis=axis)
+    odd = jax.lax.slice_in_dim(mask, 1, None, stride=2, axis=axis)
+    return jnp.concatenate([even, odd], axis=axis)
+
+
+def _unpack_tile(t: jax.Array) -> jax.Array:
+    """uint8 (P/2, w) -> bf16 (P, w) in [0::2 | 1::2] row order.
+
+    Goes through int32 (zero-extended) so the shift/and stay on plain
+    VPU int ops — Mosaic's sub-int32 bitwise support is spotty."""
+    t32 = t.astype(jnp.int32)
+    return jnp.concatenate([t32 & 15, (t32 >> 4) & 15], axis=0).astype(
+        jnp.bfloat16
+    )
+
+
+def _kernel(mask_ref, a_ref, depth_ref, uniq_ref, *, nibble):
+    if nibble:
+        a = _unpack_tile(a_ref[:])  # (P_pad, width) bf16
+    else:
+        a = a_ref[:].astype(jnp.bfloat16)
+    m = mask_ref[:]  # (8, P_pad) bf16; row 0 = (folded) mask
     depth = jax.lax.dot_general(
         m,
         a,
@@ -82,19 +119,23 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref):
     uniq_ref[:] = uniq[:1, :].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("nibble", "interpret"))
 def masked_cross_depth(
-    cross: jax.Array,  # int8[P_pad, N_pad], N_pad % 128 == 0
-    mask: jax.Array,  # int32/bool[P_pad] (0/1)
+    cross: jax.Array,  # uint8[P_pad/2, N_pad] packed or int8[P_pad, N_pad]
+    mask: jax.Array,  # int32/bool[P_pad] (0/1), original path order
+    nibble: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(depth, uniq) int32[N_pad] — single fused pass over ``cross``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p_pad, n_pad = cross.shape
+    rows, n_pad = cross.shape
+    p_pad = rows * 2 if nibble else rows
     width = pick_seg_block(p_pad, n_pad)
     assert n_pad % width == 0 and p_pad % 8 == 0
+    if nibble:
+        mask = fold_mask(mask)
     # The mask stays bf16: an (8, P) int8 block breaks the sublane
     # tiling (int8 wants 32 sublanes) and reads garbage on hardware.
     m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
@@ -102,7 +143,7 @@ def masked_cross_depth(
     )
 
     a_block = pl.BlockSpec(
-        (p_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     o_block = pl.BlockSpec(
         (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -110,7 +151,7 @@ def masked_cross_depth(
     # Trace with x64 off: int64 grid literals break Mosaic lowering.
     with jax.enable_x64(False):
         depth, uniq = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, nibble=nibble),
             grid=(n_pad // width,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
             out_specs=(o_block, o_block),
@@ -123,13 +164,24 @@ def masked_cross_depth(
     return depth[0], uniq[0]
 
 
-@jax.jit
+def unpack_cross(cross: jax.Array) -> jax.Array:
+    """Portable nibble unpack: uint8 (P/2, N) -> int32 (P, N) in
+    [0::2 | 1::2] row order (pair with ``fold_mask``)."""
+    t = cross.astype(jnp.int32)
+    return jnp.concatenate([t & 15, (t >> 4) & 15], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("nibble",))
 def masked_cross_depth_xla(
-    cross: jax.Array, mask: jax.Array
+    cross: jax.Array, mask: jax.Array, nibble: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """Portable two-dot fallback (CPU, or shapes the kernel rejects)."""
+    if nibble:
+        a = unpack_cross(cross).astype(jnp.float32)
+        mask = fold_mask(mask)
+    else:
+        a = cross.astype(jnp.float32)
     m = mask.astype(jnp.float32)
-    a = cross.astype(jnp.float32)
     depth = jnp.dot(m, a, preferred_element_type=jnp.float32)
     uniq = jnp.dot(
         m, jnp.minimum(a, 1.0), preferred_element_type=jnp.float32
@@ -137,20 +189,24 @@ def masked_cross_depth_xla(
     return depth.astype(jnp.int32), uniq.astype(jnp.int32)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("nibble",))
 def batched_cross_depth(
-    cross: jax.Array, masks: jax.Array
+    cross: jax.Array, masks: jax.Array, nibble: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """(depth, uniq) int32[Q, N_pad] for Q masks at once: two MXU
     matmuls reading A once each — the serving shape (one resident
     graph, a stream of subset queries).
 
     Portable XLA form; note XLA materializes a full bf16 copy of the
-    int8 matrix, so on TPU prefer ``batched_cross_depth_pallas``,
-    which upcasts tile-by-tile in VMEM and keeps HBM traffic at
-    1 byte/cell."""
+    packed matrix, so on TPU prefer ``batched_cross_depth_pallas``,
+    which unpacks tile-by-tile in VMEM and keeps HBM traffic at the
+    packed byte count."""
+    if nibble:
+        a = unpack_cross(cross).astype(jnp.bfloat16)
+        masks = fold_mask(masks, axis=1)
+    else:
+        a = cross.astype(jnp.bfloat16)
     m = masks.astype(jnp.bfloat16)
-    a = cross.astype(jnp.bfloat16)
     depth = jnp.dot(m, a, preferred_element_type=jnp.float32)
     uniq = jnp.dot(
         m, jnp.minimum(a, jnp.bfloat16(1)), preferred_element_type=jnp.float32
@@ -160,9 +216,9 @@ def batched_cross_depth(
 
 def pick_batched_width(q_pad: int, p_pad: int, n_pad: int) -> int:
     """Widest power-of-two tile (divisor of N_pad) whose per-step VMEM
-    footprint — int8 A tile + its bf16 upcast (3 B/cell) plus the f32
-    dot results and int32 outputs (16 B/cell over Q rows) — stays
-    under a conservative budget."""
+    footprint — the unpacked bf16 A tile (3 B/cell with its packed
+    source) plus the f32 dot results and int32 outputs (16 B/cell over
+    Q rows) — stays under a conservative budget."""
     width = SEG_BLOCK
     while width > LANES and (
         (3 * p_pad + 16 * q_pad) * width > 48 * 2**20 or n_pad % width
@@ -171,8 +227,11 @@ def pick_batched_width(q_pad: int, p_pad: int, n_pad: int) -> int:
     return width
 
 
-def _batched_kernel(mask_ref, a_ref, depth_ref, uniq_ref):
-    a = a_ref[:].astype(jnp.bfloat16)  # (P_pad, width)
+def _batched_kernel(mask_ref, a_ref, depth_ref, uniq_ref, *, nibble):
+    if nibble:
+        a = _unpack_tile(a_ref[:])  # (P_pad, width) bf16
+    else:
+        a = a_ref[:].astype(jnp.bfloat16)
     m = mask_ref[:]  # (Q_pad, P_pad) bf16
     depth = jax.lax.dot_general(
         m,
@@ -191,23 +250,27 @@ def _batched_kernel(mask_ref, a_ref, depth_ref, uniq_ref):
     uniq_ref[:] = uniq.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("nibble", "interpret"))
 def batched_cross_depth_pallas(
-    cross: jax.Array,  # int8[P_pad, N_pad], N_pad % 128 == 0
-    masks: jax.Array,  # int32/bool[Q, P_pad]
+    cross: jax.Array,  # uint8[P_pad/2, N_pad] packed or int8[P_pad, N_pad]
+    masks: jax.Array,  # int32/bool[Q, P_pad], original path order
+    nibble: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(depth, uniq) int32[Q, N_pad]: the Q-mask generalization of
-    ``masked_cross_depth`` — one streamed int8 read of A feeds both
-    dots for all Q queries."""
+    ``masked_cross_depth`` — one streamed read of A feeds both dots
+    for all Q queries."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p_pad, n_pad = cross.shape
+    rows, n_pad = cross.shape
+    p_pad = rows * 2 if nibble else rows
     q = masks.shape[0]
     q_pad = -(-max(q, 8) // 8) * 8
     width = pick_batched_width(q_pad, p_pad, n_pad)
     assert n_pad % width == 0 and p_pad % 8 == 0
+    if nibble:
+        masks = fold_mask(masks, axis=1)
     m = (
         jnp.zeros((q_pad, p_pad), jnp.bfloat16)
         .at[:q]
@@ -215,14 +278,14 @@ def batched_cross_depth_pallas(
     )
 
     a_block = pl.BlockSpec(
-        (p_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     o_block = pl.BlockSpec(
         (q_pad, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     with jax.enable_x64(False):
         depth, uniq = pl.pallas_call(
-            _batched_kernel,
+            functools.partial(_batched_kernel, nibble=nibble),
             grid=(n_pad // width,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
             out_specs=(o_block, o_block),

@@ -128,13 +128,14 @@ def seg_depth_with_uniq_cross(
 ) -> Tuple[jax.Array, jax.Array]:
     """Masked (depth, uniq) via the dense crossing matrix: MXU mat-vecs
     with no gathers and no boundary stage (kernels/crossmat.py). The
-    int32 COO fixup restores counts clipped by the int8 store."""
+    dense residual sidecar (one tiny fused reduce + K-sized scatter)
+    restores counts clipped by the packed store."""
     from ..kernels.crossmat import (
         masked_cross_depth,
         masked_cross_depth_xla,
     )
 
-    p_pad = dg.cross_matrix.shape[0]
+    p_pad = dg.cross_matrix.shape[0] * (2 if dg.cross_nibble else 1)
     m = (
         jnp.zeros(p_pad, jnp.int32)
         .at[: dg.num_paths]
@@ -146,10 +147,12 @@ def seg_depth_with_uniq_cross(
     fn = masked_cross_depth if pallas and p_pad <= 65536 else (
         masked_cross_depth_xla
     )
-    depth, uniq = fn(dg.cross_matrix, m)
-    depth = depth.at[dg.cross_over_seg].add(
-        dg.cross_over_delta * m[dg.cross_over_path]
-    )
+    depth, uniq = fn(dg.cross_matrix, m, nibble=dg.cross_nibble)
+    if dg.cross_res_seg.size:
+        # Exact int32, fused multiply-reduce over the sidecar columns;
+        # sentinel columns carry an out-of-range id and drop.
+        fix = jnp.sum(dg.cross_res * m[:, None], axis=0, dtype=jnp.int32)
+        depth = depth.at[dg.cross_res_seg].add(fix, mode="drop")
     return depth[: dg.num_segments], uniq[: dg.num_segments]
 
 
@@ -160,15 +163,15 @@ _BOUNDARY_EQUIV_BYTES = 128
 
 
 def _cross_beats_scan(dg: DeviceGraph) -> bool:
-    """Static cost model: stream the crossing matrix (1 B/cell int8, no
-    boundary stage) only when that moves fewer equivalent bytes than
-    the cheapest scan-family kernel (16 B/element over steps or runs,
-    plus the boundary gathers) — all shapes, so decidable at trace
-    time."""
+    """Static cost model: stream the packed crossing matrix (1 byte
+    per one or two cells, no boundary stage) plus its residual sidecar
+    only when that moves fewer equivalent bytes than the cheapest
+    scan-family kernel (16 B/element over steps or runs, plus the
+    boundary gathers) — all shapes, so decidable at trace time."""
     if dg.cross_matrix.size == 0:
         return False
     boundary = _BOUNDARY_EQUIV_BYTES * dg.num_segments
-    cross_bytes = dg.cross_matrix.size
+    cross_bytes = dg.cross_matrix.size + 4 * dg.cross_res.size
     scan_bytes = 16 * dg.padded_steps + boundary
     run_bytes = (
         16 * dg.run_path.shape[0] + boundary
@@ -197,24 +200,29 @@ def seg_depth_with_uniq_batch(
             batched_cross_depth_pallas,
         )
 
-        p_pad = dg.cross_matrix.shape[0]
+        p_pad = dg.cross_matrix.shape[0] * (2 if dg.cross_nibble else 1)
         q = path_masks.shape[0]
         m = (
             jnp.zeros((q, p_pad), jnp.int32)
             .at[:, : dg.num_paths]
             .set(path_masks.astype(jnp.int32)[:, : dg.num_paths])
         )
-        # On TPU the Pallas kernel upcasts int8 tiles in VMEM; the XLA
-        # dots would first materialize a full bf16 copy of A in HBM.
+        # On TPU the Pallas kernel unpacks tiles in VMEM; the XLA dots
+        # would first materialize a full bf16 copy of A in HBM.
         fn = (
             batched_cross_depth_pallas
             if jax.default_backend() not in ("cpu",) and p_pad <= 65536
             else batched_cross_depth
         )
-        depth, uniq = fn(dg.cross_matrix, m)
-        depth = depth.at[:, dg.cross_over_seg].add(
-            dg.cross_over_delta[None, :] * m[:, dg.cross_over_path]
-        )
+        depth, uniq = fn(dg.cross_matrix, m, nibble=dg.cross_nibble)
+        if dg.cross_res_seg.size:
+            fix = jnp.einsum(
+                "qp,pk->qk",
+                m,
+                dg.cross_res,
+                preferred_element_type=jnp.int32,
+            )
+            depth = depth.at[:, dg.cross_res_seg].add(fix, mode="drop")
         return depth[:, : dg.num_segments], uniq[:, : dg.num_segments]
     return jax.vmap(seg_depth_with_uniq_runs, in_axes=(None, 0))(
         dg, path_masks

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -308,55 +308,70 @@ def shard_degree_inputs(dg: DeviceGraph, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-def shard_cross_inputs(dg: DeviceGraph, mesh: Mesh):
-    """Lay the crossing matrix out over the mesh: columns (segments)
-    sharded across every device, overflow COO replicated.
+class ShardedCross(NamedTuple):
+    """Crossing matrix laid out over a mesh: packed columns (segments)
+    sharded across every device, residual sidecar replicated."""
 
-    Returns (cross, over_seg, over_path, over_delta, col_width) or None
-    when the graph has no crossing matrix. Column counts are padded so
-    every device gets an equal, 128-aligned slice.
-    """
+    cross: jax.Array  # packed rows x (col_width * n_dev), column-sharded
+    res: jax.Array  # int32[P_pad, K_pad], replicated
+    res_seg: jax.Array  # int32[K_pad], replicated (sentinel-padded)
+    col_width: int  # segment columns per device
+    num_paths_padded: int  # mask length the query expects
+    nibble: bool  # two path rows per matrix byte?
+
+
+def shard_cross_inputs(dg: DeviceGraph, mesh: Mesh):
+    """Lay the crossing matrix out over the mesh (see ShardedCross);
+    returns None when the graph has no crossing matrix. Column counts
+    are padded so every device gets an equal, 128-aligned slice."""
     if dg.cross_matrix.size == 0:
         return None
     a = np.asarray(dg.cross_matrix)
     n_dev = mesh.size
-    p_pad, n_pad = a.shape
+    rows, n_pad = a.shape
+    p_pad = rows * 2 if dg.cross_nibble else rows
     width = -(-n_pad // (n_dev * 128)) * 128
     total = width * n_dev
     if total > n_pad:
         a = np.concatenate(
-            [a, np.zeros((p_pad, total - n_pad), a.dtype)], axis=1
+            [a, np.zeros((rows, total - n_pad), a.dtype)], axis=1
         )
     col_shard = NamedSharding(mesh, P(None, STEP_AXES))
     repl = NamedSharding(mesh, P())
-    return (
-        jax.device_put(jnp.asarray(a), col_shard),
-        jax.device_put(dg.cross_over_seg, repl),
-        jax.device_put(dg.cross_over_path, repl),
-        jax.device_put(dg.cross_over_delta, repl),
-        width,
+    return ShardedCross(
+        cross=jax.device_put(jnp.asarray(a), col_shard),
+        res=jax.device_put(dg.cross_res, repl),
+        res_seg=jax.device_put(dg.cross_res_seg, repl),
+        col_width=width,
+        num_paths_padded=p_pad,
+        nibble=dg.cross_nibble,
     )
 
 
-def sharded_cross_depth_fn(mesh: Mesh):
+def sharded_cross_depth_fn(mesh: Mesh, nibble: bool = False):
     """Mesh-wide masked (depth, uniq) over the sharded crossing matrix.
 
     Tensor parallelism in its purest form: each device computes the
     mat-vec for its own segment columns; outputs stay segment-sharded
-    and NO collective runs at all (the mask is replicated, the overflow
+    and NO collective runs at all (the mask is replicated, the residual
     fixup is range-filtered locally with dropped out-of-range scatters).
     Scaling is linear by construction — ICI carries nothing.
     """
+    from ..kernels.crossmat import fold_mask, unpack_cross
 
     @jax.jit
-    def query(cross, over_seg, over_path, over_delta, mask):
-        def worker(a, over_seg, over_path, over_delta, mask):
+    def query(cross, res, res_seg, mask):
+        def worker(a, res, res_seg, mask):
             idx = jax.lax.axis_index(STEP_AXES)
             width = a.shape[1]
-            # bf16 operands (exact: mask is 0/1, counts clip at 127)
+            # bf16 operands (exact: mask is 0/1, counts clip small)
             # with f32 accumulation keep the dots on the MXU.
-            m = mask.astype(jnp.bfloat16)
-            af = a.astype(jnp.bfloat16)
+            if nibble:
+                af = unpack_cross(a).astype(jnp.bfloat16)
+                m = fold_mask(mask).astype(jnp.bfloat16)
+            else:
+                af = a.astype(jnp.bfloat16)
+                m = mask.astype(jnp.bfloat16)
             depth = jnp.dot(m, af, preferred_element_type=jnp.float32)
             uniq = jnp.dot(
                 m,
@@ -365,20 +380,22 @@ def sharded_cross_depth_fn(mesh: Mesh):
             )
             depth = depth.astype(jnp.int32)
             uniq = uniq.astype(jnp.int32)
-            # Overflow remainders for my column range only: shifted
-            # indices outside [0, width) are dropped by the scatter.
-            local = over_seg - idx * width
-            depth = depth.at[local].add(
-                over_delta * mask[over_path], mode="drop"
-            )
+            # Residual remainders for my column range only: shifted
+            # indices outside [0, width) — including the sidecar's
+            # sentinel padding — are dropped by the scatter. The
+            # sidecar is indexed by original path order.
+            if res_seg.shape[0]:
+                fix = jnp.sum(res * mask[:, None], axis=0, dtype=jnp.int32)
+                local = res_seg - idx * width
+                depth = depth.at[local].add(fix, mode="drop")
             return depth, uniq
 
         return jax.shard_map(
             worker,
             mesh=mesh,
-            in_specs=(P(None, STEP_AXES), P(), P(), P(), P()),
+            in_specs=(P(None, STEP_AXES), P(), P(), P()),
             out_specs=(P(STEP_AXES), P(STEP_AXES)),
-        )(cross, over_seg, over_path, over_delta, mask)
+        )(cross, res, res_seg, mask)
 
     return query
 

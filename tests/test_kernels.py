@@ -117,15 +117,20 @@ def test_cross_matrix_matches_xla(graph_path):
         np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_x))
         np.testing.assert_array_equal(np.asarray(u_c), np.asarray(u_x))
 
-        p_pad = dg.cross_matrix.shape[0]
+        p_pad = dg.cross_matrix.shape[0] * (2 if dg.cross_nibble else 1)
         m = np.zeros(p_pad, np.int32)
         m[: dg.num_paths] = mask
         d_p, u_p = masked_cross_depth(
-            dg.cross_matrix, jnp.asarray(m), interpret=True
+            dg.cross_matrix,
+            jnp.asarray(m),
+            nibble=dg.cross_nibble,
+            interpret=True,
         )
-        d_p = d_p.at[dg.cross_over_seg].add(
-            dg.cross_over_delta * jnp.asarray(m)[dg.cross_over_path]
-        )
+        if dg.cross_res_seg.size:
+            fix = jnp.sum(
+                dg.cross_res * jnp.asarray(m)[:, None], axis=0
+            ).astype(jnp.int32)
+            d_p = d_p.at[dg.cross_res_seg].add(fix, mode="drop")
         np.testing.assert_array_equal(
             np.asarray(d_p)[: dg.num_segments], np.asarray(d_x)
         )
@@ -136,8 +141,9 @@ def test_cross_matrix_matches_xla(graph_path):
 
 def test_cross_matrix_overflow_fixup():
     """A (path, segment) pair crossing more than CLIP times exercises
-    the int8 clip + int32 COO remainder."""
+    the clip + dense residual sidecar."""
     from pollen_tpu.flatgfa import parse_gfa
+    from pollen_tpu.kernels.crossmat import RES_SENTINEL
     from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
 
     steps = ",".join(["1+", "2-"] * 300)
@@ -146,7 +152,8 @@ def test_cross_matrix_overflow_fixup():
         f"P\tbig\t{steps}\t*\nP\tsmall\t3+,1-\t*\n"
     ).encode()
     dg = build_device_graph(parse_gfa(text), cross_matrix="always")
-    assert dg.cross_over_seg.size == 2  # both segment 1 and 2 overflow
+    # Both segment 1 and 2 overflow the clip into the sidecar.
+    assert int((np.asarray(dg.cross_res_seg) < RES_SENTINEL).sum()) == 2
     for mask in ([1, 1], [1, 0], [0, 1], [0, 0]):
         m = jnp.asarray(np.array(mask, bool))
         d_c, u_c = seg_depth_with_uniq_cross(dg, m)
@@ -181,13 +188,18 @@ def test_cross_matrix_batch_pallas(graph_path):
 
     g = parse_gfa_file(str(graph_path))
     dg = build_device_graph(g, cross_matrix="always")
-    p_pad = dg.cross_matrix.shape[0]
+    p_pad = dg.cross_matrix.shape[0] * (2 if dg.cross_nibble else 1)
     rng = np.random.default_rng(23)
     masks = np.zeros((5, p_pad), np.int32)
     masks[:, : dg.num_paths] = rng.integers(0, 2, (5, dg.num_paths))
-    d_x, u_x = batched_cross_depth(dg.cross_matrix, jnp.asarray(masks))
+    d_x, u_x = batched_cross_depth(
+        dg.cross_matrix, jnp.asarray(masks), nibble=dg.cross_nibble
+    )
     d_p, u_p = batched_cross_depth_pallas(
-        dg.cross_matrix, jnp.asarray(masks), interpret=True
+        dg.cross_matrix,
+        jnp.asarray(masks),
+        nibble=dg.cross_nibble,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
     np.testing.assert_array_equal(np.asarray(u_p), np.asarray(u_x))

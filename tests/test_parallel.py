@@ -114,28 +114,27 @@ def test_sharded_cross_depth_matches_single(graph_path, mesh):
 
     g = parse_gfa_file(str(graph_path))
     dg = build_device_graph(g, cross_matrix="always")
-    cross_in = shard_cross_inputs(dg, mesh)
-    assert cross_in is not None
-    cross, o_seg, o_path, o_delta, _ = cross_in
-    query = sharded_cross_depth_fn(mesh)
+    sc = shard_cross_inputs(dg, mesh)
+    assert sc is not None
+    query = sharded_cross_depth_fn(mesh, nibble=sc.nibble)
 
     rng = np.random.default_rng(23)
     n = dg.num_segments
     for _ in range(2):
         bools = rng.integers(0, 2, dg.num_paths).astype(bool)
         m = (
-            jnp.zeros(cross.shape[0], jnp.int32)
+            jnp.zeros(sc.num_paths_padded, jnp.int32)
             .at[: dg.num_paths]
             .set(jnp.asarray(bools.astype(np.int32)))
         )
-        d_c, u_c = query(cross, o_seg, o_path, o_delta, m)
+        d_c, u_c = query(sc.cross, sc.res, sc.res_seg, m)
         d_1, u_1 = depth_op.seg_depth_with_uniq_masked(dg, jnp.asarray(bools))
         np.testing.assert_array_equal(np.asarray(d_c)[:n], np.asarray(d_1))
         np.testing.assert_array_equal(np.asarray(u_c)[:n], np.asarray(u_1))
 
 
 def test_sharded_cross_overflow(mesh):
-    """Overflow remainders land on the right device shard."""
+    """Clipped residuals land on the right device shard."""
     from pollen_tpu.flatgfa import parse_gfa
     from pollen_tpu.parallel.sharded import (
         shard_cross_inputs,
@@ -145,9 +144,11 @@ def test_sharded_cross_overflow(mesh):
     steps = ",".join(["1+"] * 300 + ["2+"] * 2)
     text = f"S\t1\tA\nS\t2\tC\nP\tp\t{steps}\t*\n".encode()
     dg = build_device_graph(parse_gfa(text), cross_matrix="always")
-    assert dg.cross_over_seg.size == 1
-    cross, o_seg, o_path, o_delta, _ = shard_cross_inputs(dg, mesh)
-    m = jnp.zeros(cross.shape[0], jnp.int32).at[:1].set(1)
-    d_c, u_c = sharded_cross_depth_fn(mesh)(cross, o_seg, o_path, o_delta, m)
+    assert dg.cross_res_seg.size
+    sc = shard_cross_inputs(dg, mesh)
+    m = jnp.zeros(sc.num_paths_padded, jnp.int32).at[:1].set(1)
+    d_c, u_c = sharded_cross_depth_fn(mesh, nibble=sc.nibble)(
+        sc.cross, sc.res, sc.res_seg, m
+    )
     assert np.asarray(d_c)[:2].tolist() == [300, 2]
     assert np.asarray(u_c)[:2].tolist() == [1, 1]
