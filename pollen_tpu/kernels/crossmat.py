@@ -51,7 +51,11 @@ import jax.numpy as jnp
 LANES = 128
 # Widest lane-dim tile of A per grid step; narrowed when the path
 # dimension is large so a tile stays within the VMEM budget. Tuned on
-# v5e (int8, P=128): 4096 -> 62 us, 8192 -> 53 us per query.
+# v5e (nibble, P=128, N=2^18): 2048 -> 69 us, 4096 -> 53 us,
+# 8192 -> 48 us, 16384 -> 47 us per query — but the 16384 tile also
+# balloons the Mosaic compile from seconds to minutes (lane-block
+# unrolling), so 8192 is the sweet spot for a serving engine that
+# compiles per graph shape.
 SEG_BLOCK = 8192
 # Elements per VMEM tile cap (unpacked cells): p_pad * tile <= this.
 _TILE_ELEMS = 8 * 2**20
@@ -84,9 +88,13 @@ def _unpack_tile(t: jax.Array) -> jax.Array:
     """uint8 (P/2, w) -> bf16 (P, w) in [0::2 | 1::2] row order.
 
     Goes through int32 (zero-extended) so the shift/and stay on plain
-    VPU int ops — Mosaic's sub-int32 bitwise support is spotty."""
+    VPU int ops — Mosaic's sub-int32 bitwise support is spotty. The
+    high half needs no mask: the zero-extended byte's bits above 7 are
+    already clear, so ``>> 4`` alone yields the high nibble (measured
+    ~5 us/query on v5e — the VPU, not the MXU or DMA, is this kernel's
+    critical path, so every elementwise op counts)."""
     t32 = t.astype(jnp.int32)
-    return jnp.concatenate([t32 & 15, (t32 >> 4) & 15], axis=0).astype(
+    return jnp.concatenate([t32 & 15, t32 >> 4], axis=0).astype(
         jnp.bfloat16
     )
 
@@ -168,7 +176,7 @@ def unpack_cross(cross: jax.Array) -> jax.Array:
     """Portable nibble unpack: uint8 (P/2, N) -> int32 (P, N) in
     [0::2 | 1::2] row order (pair with ``fold_mask``)."""
     t = cross.astype(jnp.int32)
-    return jnp.concatenate([t & 15, (t >> 4) & 15], axis=0)
+    return jnp.concatenate([t & 15, t >> 4], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("nibble",))

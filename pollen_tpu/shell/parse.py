@@ -150,9 +150,15 @@ def _translate_command(
 
 def shell_to_ir(text: str) -> Program:
     """Parse shell text into an IR program."""
-    lex = shlex.shlex(text, posix=True, punctuation_chars="|;<>")
-    lex.whitespace_split = True
-    tokens = list(lex)
+    # Lex line by line: shlex's whitespace_split treats newlines as
+    # plain whitespace, which would fuse a script's statements into
+    # one. A ";" after each line keeps the statement boundaries.
+    tokens: List[str] = []
+    for line in text.splitlines():
+        lex = shlex.shlex(line, posix=True, punctuation_chars="|;<>")
+        lex.whitespace_split = True
+        tokens.extend(lex)
+        tokens.append(";")
     prog = Program()
     for statement in _split_statements(tokens):
         stages = _split_pipeline(statement)

@@ -347,3 +347,13 @@ def graph_maxes(graph: Graph) -> Tuple[int, int, int]:
 
 def without_overlaps(paths: Dict[str, Path]) -> Dict[str, Path]:
     return {name: p.without_overlaps() for name, p in paths.items()}
+
+
+if __name__ == "__main__":  # python -m pollen_tpu.spec.model [--nl]
+    # Round-trip a GFA file through the data model: parse stdin, emit
+    # to stdout, links suppressed under --nl (reference:
+    # mygfa/mygfa/__main__.py).
+    import sys as _sys
+
+    _g = Graph.parse(_sys.stdin)
+    _g.emit(_sys.stdout, "--nl" not in _sys.argv[1:])

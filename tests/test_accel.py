@@ -90,3 +90,21 @@ def test_graph_json_roundtrip(graph_path):
     assert emit_gfa(again, order="sorted") == emit_gfa(
         g, order="sorted", path_sort_keys=None
     ).replace("\t7M,2M,4M,1M,10M,1M", "\t*")  # overlaps not serialized
+
+
+def test_single_pe_variant_matches_batched(graph_path):
+    """The time-shared single-PE scan (reference: processing-elements/
+    calyx_depth_simple.py) computes exactly what the PE array does."""
+    from pollen_tpu.accel.kernel import (
+        node_depth_accel,
+        node_depth_accel_simple,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    memories = depth_json(g, *accel_dims(g))
+    path_ids, consider = parse_depth_json(memories)
+    max_p = consider.shape[0] - 1
+    d0, u0 = node_depth_accel(path_ids, consider, max_p)
+    d1, u1 = node_depth_accel_simple(path_ids, consider, max_p)
+    assert np.array_equal(np.asarray(d0), np.asarray(d1))
+    assert np.array_equal(np.asarray(u0), np.asarray(u1))
