@@ -142,18 +142,67 @@ def measure_stream_roofline(n_steps: int, reps: int, chain: int) -> float:
     return n_steps * 8 / per_iter  # 4B read + 4B write per element
 
 
+def _roofline_cache_path() -> str:
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "pollen-tpu", "roofline.json"
+    )
+
+
+def _device_kind() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+
+
+def _roofline_cache_load() -> float | None:
+    """Last successful streaming-roofline measurement on this same
+    device kind, if any. The calibration is a device property, not a
+    workload property, so reusing a prior measurement when the flaky
+    tunnel makes a fresh one impossible is honest — and far more
+    faithful than falling back to the chip's nominal peak."""
+    try:
+        with open(_roofline_cache_path()) as f:
+            rec = json.load(f)
+        if rec.get("device") == _device_kind() and rec.get("roofline", 0) > 0:
+            return float(rec["roofline"])
+    except Exception:
+        pass
+    return None
+
+
+def _roofline_cache_store(roofline: float) -> None:
+    try:
+        path = _roofline_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "device": _device_kind(),
+                    "roofline": roofline,
+                    "ts": time.time(),
+                },
+                f,
+            )
+    except Exception:
+        pass
+
+
 def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
     """Run the roofline calibration in a time-boxed child process.
 
     Through a degraded device tunnel a single remote compile can take
     minutes; the roofline only feeds vs_baseline, so it must never sink
-    the whole benchmark. Returns None on timeout/failure.
+    the whole benchmark. Successful measurements are cached per device
+    kind; on timeout/failure the cached value (if any) is returned,
+    else None.
     """
     import subprocess
     import sys
 
     code = (
         "import sys; sys.path.insert(0, %r)\n"
+        "import pollen_tpu.device  # enable the persistent compile cache\n"
         "from bench import measure_stream_roofline\n"
         "print(measure_stream_roofline(%d, %d, %d))\n"
         % (os.path.dirname(os.path.abspath(__file__)), n_steps, reps, chain)
@@ -165,9 +214,17 @@ def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
             text=True,
             timeout=budget_s,
         )
-        return float(result.stdout.strip().splitlines()[-1])
+        roofline = float(result.stdout.strip().splitlines()[-1])
     except Exception:
-        return None
+        roofline = None
+    if roofline:
+        _roofline_cache_store(roofline)
+        return roofline
+    cached = _roofline_cache_load()
+    if cached:
+        print("# roofline from cache (fresh calibration unavailable)",
+              file=sys.stderr)
+    return cached
 
 
 def measure_depth(dg, reps: int, chain: int, impl: str = "scan") -> float:

@@ -192,9 +192,11 @@ def build_device_graph(
     seg_sorted = step_seg[perm]
     path_sorted = step_path[perm]
 
-    # Segment run boundaries in sorted order.
+    # Segment run boundaries in sorted order. (int32 probe values: a
+    # wider dtype silently promotes the whole 4M+-element sorted array
+    # inside searchsorted.)
     seg_bounds = np.searchsorted(
-        seg_sorted, np.arange(n + 1, dtype=np.int64)
+        seg_sorted, np.arange(n + 1, dtype=np.int32)
     ).astype(np.int32)
 
     # (segment, path) group starts + the run-level index.
@@ -204,15 +206,14 @@ def build_device_graph(
         new_run[1:] = (seg_sorted[1:] != seg_sorted[:-1]) | (
             path_sorted[1:] != path_sorted[:-1]
         )
-        run_idx = np.cumsum(new_run) - 1
         starts = np.flatnonzero(new_run).astype(np.int32)
-        run_start = starts[run_idx]
-        run_path = path_sorted[starts]
         run_count = np.diff(
             np.concatenate([starts, [s]])
         ).astype(np.int32)
+        run_start = np.repeat(starts, run_count)
+        run_path = path_sorted[starts]
         run_seg_bounds = np.searchsorted(
-            seg_sorted[starts], np.arange(n + 1, dtype=np.int64)
+            seg_sorted[starts], np.arange(n + 1, dtype=np.int32)
         ).astype(np.int32)
     else:
         starts = np.zeros(0, dtype=np.int32)
@@ -259,12 +260,25 @@ def build_device_graph(
         over, segs, k_pad = (
             (over_n, segs_n, k_n) if use_nibble else (over_8, segs_8, k_8)
         )
-        a = np.zeros((p_pad_m, n_pad_m), np.int32)
-        a[run_path, run_seg] = np.minimum(run_count, clip)
+        counts = np.minimum(run_count, clip)
         if use_nibble:
-            cross = (a[0::2] | (a[1::2] << 4)).astype(np.uint8)
+            # Scatter straight into the packed uint8 matrix — building a
+            # dense (P_pad, N_pad) int32 intermediate and strided-OR
+            # packing it costs ~10x the whole rest of ingest.
+            cross = np.zeros((p_pad_m // 2, n_pad_m), np.uint8)
+            even = (run_path & 1) == 0
+            cross[run_path[even] >> 1, run_seg[even]] = counts[
+                even
+            ].astype(np.uint8)
+            odd = ~even
+            # (path, seg) runs are unique, and distinct odd paths map to
+            # distinct rows, so the fancy read-or-write never collides.
+            cross[run_path[odd] >> 1, run_seg[odd]] |= (
+                counts[odd].astype(np.uint8) << 4
+            )
         else:
-            cross = a.astype(np.int8)
+            cross = np.zeros((p_pad_m, n_pad_m), np.int8)
+            cross[run_path, run_seg] = counts.astype(np.int8)
         cross_res = np.zeros((p_pad_m, k_pad), np.int32)
         cross_res_seg = np.full(k_pad, RES_SENTINEL, np.int32)
         if k_pad:
@@ -302,11 +316,11 @@ def build_device_graph(
 
     # Degree index: both link endpoints, histogrammed by segment.
     endpoints = np.concatenate(
-        [(g.link_from >> 1).astype(np.int64), (g.link_to >> 1).astype(np.int64)]
+        [(g.link_from >> 1).astype(np.int32), (g.link_to >> 1).astype(np.int32)]
     )
     endpoints.sort()
     link_seg_bounds = np.searchsorted(
-        endpoints, np.arange(n + 1, dtype=np.int64)
+        endpoints, np.arange(n + 1, dtype=np.int32)
     ).astype(np.int32)
 
     put = partial(jax.device_put, device=device)
