@@ -164,7 +164,12 @@ def _roofline_cache_load() -> float | None:
     try:
         with open(_roofline_cache_path()) as f:
             rec = json.load(f)
-        if rec.get("device") == _device_kind() and rec.get("roofline", 0) > 0:
+        age_s = time.time() - float(rec.get("ts", 0))
+        if (
+            rec.get("device") == _device_kind()
+            and rec.get("roofline", 0) > 0
+            and 0 <= age_s < 48 * 3600  # tunnel bandwidth drifts; re-measure
+        ):
             return float(rec["roofline"])
     except Exception:
         pass
@@ -217,7 +222,9 @@ def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
         roofline = float(result.stdout.strip().splitlines()[-1])
     except Exception:
         roofline = None
-    if roofline:
+    import math
+
+    if roofline and math.isfinite(roofline) and roofline > 0:
         _roofline_cache_store(roofline)
         return roofline
     cached = _roofline_cache_load()
