@@ -69,6 +69,7 @@ def _build() -> bool:
                 "-O3",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-std=c++17",
                 "-o",
                 str(_SO),

@@ -1,17 +1,27 @@
-// Fast single-pass GFA tokenizer producing the flat arena pools.
+// Fast multithreaded GFA tokenizer producing the flat arena pools.
 //
 // Native-code counterpart of pollen_tpu/flatgfa.py::parse_gfa (reference
-// analogue: the Rust flatgfa parser, flatgfa/src/{gfaline,parse}.rs).
+// analogue: the Rust flatgfa parser, flatgfa/src/{gfaline,parse}.rs, and
+// its rayon-parallel newline splitting, flatgfa/src/memfile.rs:33-117).
 // The output arrays are bit-identical to the NumPy parser's pools; any
 // input this scanner cannot handle returns a nonzero code and the
 // caller falls back to the NumPy path (which produces real errors).
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libpollen_scan.so gfa_scan.cpp
+// Parallel structure: the buffer splits at newline boundaries into
+// ordered shards. Phase 1 tokenizes lines into per-shard record
+// vectors (+ byte counts for the variable pools). Phase 2 materializes
+// each shard's pools — byte pools write straight into the final
+// buffers at precomputed offsets; index pools build shard-locally and
+// are rebased by scalar adds during the ordered merge, so the result
+// is byte-identical to the single-shard parse.
+//
+// Build: g++ -O3 -shared -fPIC -pthread -o libpollen_scan.so gfa_scan.cpp
 
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -153,73 +163,131 @@ int gfa_parse(const uint8_t *buf, uint64_t len, GfaOut *out);
 
 namespace {
 
-// Parse GFA text into pool vectors; returns 0 on success, else the
-// error code gfa_parse reports (the caller falls back to NumPy).
-int parse_pools(const uint8_t *buf, uint64_t len, Pools *P) {
+// One byte-range of the input: phase-1 line records, phase-2 local
+// pools. Shards are ordered, so concatenating their outputs reproduces
+// the serial parse exactly.
+struct Shard {
+  // Phase 1: tokenized records + byte counts for the data pools.
   std::vector<SegRec> segs;
   std::vector<LinkRec> links;
   std::vector<PathRec> paths;
-  std::vector<uint8_t> &line_order = P->line_order;
-  const uint8_t *&header_lo = P->header_lo;
-  const uint8_t *&header_hi = P->header_hi;
+  std::vector<uint8_t> line_order;
+  const uint8_t *header_lo = nullptr, *header_hi = nullptr;
+  int err = 0;
+  uint64_t seq_bytes = 0, opt_bytes = 0, name_bytes = 0;
 
-  const uint8_t *p = buf;
-  const uint8_t *buf_end = buf + len;
-  while (p < buf_end) {
+  // Phase-2 bases (set between phases).
+  uint64_t seq_base = 0, opt_base = 0, name_base = 0;
+
+  // Phase 2: shard-local pools. seg_seq/seg_opt/path_name hold final
+  // absolute offsets (their bases are known up front); the rest are
+  // local and rebased by scalar adds in the merge.
+  std::vector<int64_t> seg_name;
+  std::vector<uint32_t> seg_seq, seg_opt;
+  std::vector<uint32_t> link_from, link_to, link_olap;
+  std::vector<uint32_t> l_overlaps, l_alignment;  // link CIGAR pools
+  std::vector<uint32_t> path_name, path_steps, path_olaps;
+  std::vector<uint32_t> steps;
+  std::vector<uint32_t> p_overlaps, p_alignment;  // path CIGAR pools
+};
+
+// Phase 1: tokenize [lo, hi) into records. Field pointers reference
+// the input buffer; nothing is copied yet.
+void scan_lines(const uint8_t *lo, const uint8_t *hi, Shard *sh) {
+  const uint8_t *p = lo;
+  while (p < hi) {
     const uint8_t *nl = static_cast<const uint8_t *>(
-        memchr(p, '\n', static_cast<size_t>(buf_end - p)));
-    const uint8_t *end = nl ? nl : buf_end;
+        memchr(p, '\n', static_cast<size_t>(hi - p)));
+    const uint8_t *end = nl ? nl : hi;
     if (end == p) {  // blank line
       p = end + 1;
       continue;
     }
     uint8_t kind = *p;
-    if (end - p < 2 || p[1] != '\t') return 1;
+    if (end - p < 2 || p[1] != '\t') {
+      sh->err = 1;
+      return;
+    }
     const uint8_t *rest = p + 2;
 
     if (kind == 'H') {
-      if (header_lo) return 2;  // multiple headers
-      header_lo = rest;
-      header_hi = end;
-      line_order.push_back(0);
+      if (sh->header_lo) {
+        sh->err = 2;  // multiple headers
+        return;
+      }
+      sh->header_lo = rest;
+      sh->header_hi = end;
+      sh->line_order.push_back(0);
     } else if (kind == 'S') {
       const uint8_t *t1 = find_tab(rest, end);
-      if (!t1) return 3;
+      if (!t1) {
+        sh->err = 3;
+        return;
+      }
       SegRec s;
-      if (!parse_u64(rest, t1, &s.name)) return 4;
+      if (!parse_u64(rest, t1, &s.name)) {
+        sh->err = 4;
+        return;
+      }
       const uint8_t *t2 = find_tab(t1 + 1, end);
       s.seq_lo = t1 + 1;
       s.seq_hi = t2 ? t2 : end;
       s.opt_lo = t2 ? t2 + 1 : end;
       s.opt_hi = end;
-      segs.push_back(s);
-      line_order.push_back(1);
+      sh->seq_bytes += static_cast<uint64_t>(s.seq_hi - s.seq_lo);
+      sh->opt_bytes += static_cast<uint64_t>(s.opt_hi - s.opt_lo);
+      sh->segs.push_back(s);
+      sh->line_order.push_back(1);
     } else if (kind == 'L') {
       LinkRec l;
       const uint8_t *t1 = find_tab(rest, end);
-      if (!t1 || !parse_u64(rest, t1, &l.from_name)) return 5;
+      if (!t1 || !parse_u64(rest, t1, &l.from_name)) {
+        sh->err = 5;
+        return;
+      }
       const uint8_t *t2 = find_tab(t1 + 1, end);
-      if (!t2 || t2 - t1 != 2) return 5;
+      if (!t2 || t2 - t1 != 2) {
+        sh->err = 5;
+        return;
+      }
       if (t1[1] == '-') l.from_rev = 1;
       else if (t1[1] == '+') l.from_rev = 0;
-      else return 5;
+      else {
+        sh->err = 5;
+        return;
+      }
       const uint8_t *t3 = find_tab(t2 + 1, end);
-      if (!t3 || !parse_u64(t2 + 1, t3, &l.to_name)) return 5;
+      if (!t3 || !parse_u64(t2 + 1, t3, &l.to_name)) {
+        sh->err = 5;
+        return;
+      }
       const uint8_t *t4 = find_tab(t3 + 1, end);
-      if (!t4 || t4 - t3 != 2) return 5;
+      if (!t4 || t4 - t3 != 2) {
+        sh->err = 5;
+        return;
+      }
       if (t3[1] == '-') l.to_rev = 1;
       else if (t3[1] == '+') l.to_rev = 0;
-      else return 5;
+      else {
+        sh->err = 5;
+        return;
+      }
       l.cig_lo = t4 + 1;
       l.cig_hi = end;
-      links.push_back(l);
-      line_order.push_back(3);
+      sh->links.push_back(l);
+      sh->line_order.push_back(3);
     } else if (kind == 'P') {
       PathRec pr;
       const uint8_t *t1 = find_tab(rest, end);
-      if (!t1) return 6;
+      if (!t1) {
+        sh->err = 6;
+        return;
+      }
       const uint8_t *t2 = find_tab(t1 + 1, end);
-      if (!t2) return 6;
+      if (!t2) {
+        sh->err = 6;
+        return;
+      }
       const uint8_t *t3 = find_tab(t2 + 1, end);
       pr.name_lo = rest;
       pr.name_hi = t1;
@@ -227,92 +295,94 @@ int parse_pools(const uint8_t *buf, uint64_t len, Pools *P) {
       pr.steps_hi = t2;
       pr.olap_lo = t2 + 1;
       pr.olap_hi = t3 ? t3 : end;
-      paths.push_back(pr);
-      line_order.push_back(2);
+      sh->name_bytes += static_cast<uint64_t>(pr.name_hi - pr.name_lo);
+      sh->paths.push_back(pr);
+      sh->line_order.push_back(2);
     } else {
-      return 7;
+      sh->err = 7;
+      return;
     }
     p = end + 1;
   }
+}
 
-  // Name map: sequential 1..N fast path, hash fallback.
-  uint64_t n = segs.size();
+// Name map over all shards: sequential 1..N fast path, hash fallback.
+struct NameMap {
   bool sequential = true;
-  for (uint64_t i = 0; i < n; ++i) {
-    if (segs[i].name != static_cast<int64_t>(i) + 1) {
-      sequential = false;
-      break;
-    }
-  }
-  std::unordered_map<int64_t, uint32_t> name_map;
-  if (!sequential) {
-    name_map.reserve(n * 2);
-    for (uint64_t i = 0; i < n; ++i) {
-      name_map.emplace(segs[i].name, static_cast<uint32_t>(i));
-    }
-  }
-  auto lookup = [&](int64_t name, uint32_t *id) -> bool {
+  uint64_t n = 0;
+  std::unordered_map<int64_t, uint32_t> map;
+
+  bool lookup(int64_t name, uint32_t *id) const {
     if (sequential) {
       if (name < 1 || name > static_cast<int64_t>(n)) return false;
       *id = static_cast<uint32_t>(name - 1);
       return true;
     }
-    auto it = name_map.find(name);
-    if (it == name_map.end()) return false;
+    auto it = map.find(name);
+    if (it == map.end()) return false;
     *id = it->second;
     return true;
-  };
+  }
+};
 
-  // Segments: pack sequence/optional bytes.
-  std::vector<int64_t> &seg_name = P->seg_name;
-  std::vector<uint32_t> &seg_seq = P->seg_seq, &seg_opt = P->seg_opt;
-  std::vector<uint8_t> &seq_data = P->seq_data, &opt_data = P->opt_data;
-  seg_name.resize(n);
-  seg_seq.resize(n * 2);
-  seg_opt.resize(n * 2);
+// Phase 2: materialize one shard's pools. Byte pools (seq/opt/name)
+// write straight into the final buffers at the shard's precomputed
+// base; index pools build locally.
+void materialize_shard(Shard *sh, const NameMap &nm, uint8_t *seq_out,
+                       uint8_t *opt_out, uint8_t *name_out) {
+  // Segments.
+  const uint64_t n = sh->segs.size();
+  sh->seg_name.resize(n);
+  sh->seg_seq.resize(n * 2);
+  sh->seg_opt.resize(n * 2);
+  uint64_t seq_at = sh->seq_base, opt_at = sh->opt_base;
   for (uint64_t i = 0; i < n; ++i) {
-    const SegRec &s = segs[i];
-    seg_name[i] = s.name;
-    seg_seq[i * 2] = static_cast<uint32_t>(seq_data.size());
-    seq_data.insert(seq_data.end(), s.seq_lo, s.seq_hi);
-    seg_seq[i * 2 + 1] = static_cast<uint32_t>(seq_data.size());
-    seg_opt[i * 2] = static_cast<uint32_t>(opt_data.size());
-    opt_data.insert(opt_data.end(), s.opt_lo, s.opt_hi);
-    seg_opt[i * 2 + 1] = static_cast<uint32_t>(opt_data.size());
+    const SegRec &s = sh->segs[i];
+    sh->seg_name[i] = s.name;
+    const uint64_t s_len = static_cast<uint64_t>(s.seq_hi - s.seq_lo);
+    const uint64_t o_len = static_cast<uint64_t>(s.opt_hi - s.opt_lo);
+    sh->seg_seq[i * 2] = static_cast<uint32_t>(seq_at);
+    memcpy(seq_out + seq_at, s.seq_lo, s_len);
+    seq_at += s_len;
+    sh->seg_seq[i * 2 + 1] = static_cast<uint32_t>(seq_at);
+    sh->seg_opt[i * 2] = static_cast<uint32_t>(opt_at);
+    memcpy(opt_out + opt_at, s.opt_lo, o_len);
+    opt_at += o_len;
+    sh->seg_opt[i * 2 + 1] = static_cast<uint32_t>(opt_at);
   }
 
-  // Links: handles + CIGARs (the alignment pool holds link CIGARs
-  // first, then path CIGARs, matching the NumPy parser).
-  std::vector<uint32_t> &link_from = P->link_from, &link_to = P->link_to,
-                        &link_olap = P->link_olap, &overlaps = P->overlaps,
-                        &alignment = P->alignment;
-  link_from.reserve(links.size());
-  for (const LinkRec &l : links) {
+  // Links: handles + CIGARs into the shard-local link pools.
+  sh->link_from.reserve(sh->links.size());
+  for (const LinkRec &l : sh->links) {
     uint32_t f, t;
-    if (!lookup(l.from_name, &f) || !lookup(l.to_name, &t)) return 8;
-    link_from.push_back(f << 1 | l.from_rev);
-    link_to.push_back(t << 1 | l.to_rev);
-    uint32_t a_lo = static_cast<uint32_t>(alignment.size());
-    if (!parse_cigar(l.cig_lo, l.cig_hi, &alignment)) return 9;
-    uint32_t entry = static_cast<uint32_t>(overlaps.size() / 2);
-    overlaps.push_back(a_lo);
-    overlaps.push_back(static_cast<uint32_t>(alignment.size()));
-    link_olap.push_back(entry);
-    link_olap.push_back(entry + 1);
+    if (!nm.lookup(l.from_name, &f) || !nm.lookup(l.to_name, &t)) {
+      sh->err = 8;
+      return;
+    }
+    sh->link_from.push_back(f << 1 | l.from_rev);
+    sh->link_to.push_back(t << 1 | l.to_rev);
+    uint32_t a_lo = static_cast<uint32_t>(sh->l_alignment.size());
+    if (!parse_cigar(l.cig_lo, l.cig_hi, &sh->l_alignment)) {
+      sh->err = 9;
+      return;
+    }
+    uint32_t entry = static_cast<uint32_t>(sh->l_overlaps.size() / 2);
+    sh->l_overlaps.push_back(a_lo);
+    sh->l_overlaps.push_back(static_cast<uint32_t>(sh->l_alignment.size()));
+    sh->link_olap.push_back(entry);
+    sh->link_olap.push_back(entry + 1);
   }
 
-  // Paths: names, steps, overlap lists.
-  std::vector<uint32_t> &path_name = P->path_name,
-                        &path_steps_v = P->path_steps,
-                        &path_olaps = P->path_olaps, &steps = P->steps;
-  std::vector<uint8_t> &name_data = P->name_data;
-  std::vector<std::vector<uint32_t>> deferred_path_cigars;
-  for (const PathRec &pr : paths) {
-    path_name.push_back(static_cast<uint32_t>(name_data.size()));
-    name_data.insert(name_data.end(), pr.name_lo, pr.name_hi);
-    path_name.push_back(static_cast<uint32_t>(name_data.size()));
+  // Paths: names (absolute), steps + CIGARs (local).
+  uint64_t name_at = sh->name_base;
+  for (const PathRec &pr : sh->paths) {
+    const uint64_t n_len = static_cast<uint64_t>(pr.name_hi - pr.name_lo);
+    sh->path_name.push_back(static_cast<uint32_t>(name_at));
+    memcpy(name_out + name_at, pr.name_lo, n_len);
+    name_at += n_len;
+    sh->path_name.push_back(static_cast<uint32_t>(name_at));
 
-    uint32_t s_lo = static_cast<uint32_t>(steps.size());
+    uint32_t s_lo = static_cast<uint32_t>(sh->steps.size());
     const uint8_t *q = pr.steps_lo;
     while (q < pr.steps_hi) {
       int64_t name = 0;
@@ -322,59 +392,220 @@ int parse_pools(const uint8_t *buf, uint64_t len, Pools *P) {
         ++q;
         digits = true;
       }
-      if (!digits || q >= pr.steps_hi) return 10;
+      if (!digits || q >= pr.steps_hi) {
+        sh->err = 10;
+        return;
+      }
       uint8_t rev;
       if (*q == '+') rev = 0;
       else if (*q == '-') rev = 1;
-      else return 10;
+      else {
+        sh->err = 10;
+        return;
+      }
       ++q;
       if (q < pr.steps_hi) {
-        if (*q != ',') return 10;
+        if (*q != ',') {
+          sh->err = 10;
+          return;
+        }
         ++q;
       }
       uint32_t id;
-      if (!lookup(name, &id)) return 11;
-      steps.push_back(id << 1 | rev);
+      if (!nm.lookup(name, &id)) {
+        sh->err = 11;
+        return;
+      }
+      sh->steps.push_back(id << 1 | rev);
     }
-    path_steps_v.push_back(s_lo);
-    path_steps_v.push_back(static_cast<uint32_t>(steps.size()));
+    sh->path_steps.push_back(s_lo);
+    sh->path_steps.push_back(static_cast<uint32_t>(sh->steps.size()));
 
-    // Overlap column: '*' or comma-separated CIGARs; entries deferred
-    // so the pool keeps link-then-path order.
-    std::vector<uint32_t> entries;  // packed per-entry op lists, flat:
-                                    // [n_ops, ops...] per entry
+    // Overlap column: '*' or comma-separated CIGARs. Link and path
+    // CIGARs live in separate local pools here, so the global
+    // link-then-path pool order falls out of the merge for free.
+    uint32_t e_lo = static_cast<uint32_t>(sh->p_overlaps.size() / 2);
     if (!(pr.olap_hi - pr.olap_lo == 1 && *pr.olap_lo == '*')) {
       const uint8_t *c = pr.olap_lo;
       while (c < pr.olap_hi) {
         const uint8_t *comma = static_cast<const uint8_t *>(
             memchr(c, ',', static_cast<size_t>(pr.olap_hi - c)));
         const uint8_t *piece_end = comma ? comma : pr.olap_hi;
-        std::vector<uint32_t> ops;
-        if (!parse_cigar(c, piece_end, &ops)) return 12;
-        entries.push_back(static_cast<uint32_t>(ops.size()));
-        entries.insert(entries.end(), ops.begin(), ops.end());
+        uint32_t a_lo = static_cast<uint32_t>(sh->p_alignment.size());
+        if (!parse_cigar(c, piece_end, &sh->p_alignment)) {
+          sh->err = 12;
+          return;
+        }
+        sh->p_overlaps.push_back(a_lo);
+        sh->p_overlaps.push_back(
+            static_cast<uint32_t>(sh->p_alignment.size()));
         c = comma ? comma + 1 : pr.olap_hi;
       }
     }
-    deferred_path_cigars.push_back(std::move(entries));
+    sh->path_olaps.push_back(e_lo);
+    sh->path_olaps.push_back(static_cast<uint32_t>(sh->p_overlaps.size() / 2));
+  }
+}
+
+// Append ``src`` to ``dst`` with a scalar added to every element.
+void append_rebased(std::vector<uint32_t> *dst,
+                    const std::vector<uint32_t> &src, uint32_t base) {
+  size_t at = dst->size();
+  dst->resize(at + src.size());
+  uint32_t *o = dst->data() + at;
+  for (size_t i = 0; i < src.size(); ++i) o[i] = src[i] + base;
+}
+
+int pick_threads(uint64_t len) {
+  const char *env = getenv("POLLEN_SCAN_THREADS");
+  if (env && *env) {
+    long v = strtol(env, nullptr, 10);
+    if (v >= 1) return static_cast<int>(v > 64 ? 64 : v);
+  }
+  if (len < (4u << 20)) return 1;  // threads don't pay below ~4 MB
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t by_size = len / (2u << 20);
+  uint64_t t = hw ? (hw < by_size ? hw : by_size) : 1;
+  if (t < 1) t = 1;
+  if (t > 32) t = 32;
+  return static_cast<int>(t);
+}
+
+// Parse GFA text into pool vectors; returns 0 on success, else the
+// error code gfa_parse reports (the caller falls back to NumPy).
+int parse_pools(const uint8_t *buf, uint64_t len, Pools *P) {
+  const int nt = pick_threads(len);
+
+  // Shard boundaries: advance each split point to the next newline.
+  std::vector<Shard> shards(nt);
+  std::vector<const uint8_t *> starts(nt + 1);
+  starts[0] = buf;
+  starts[nt] = buf + len;
+  for (int t = 1; t < nt; ++t) {
+    const uint8_t *p = buf + len * static_cast<uint64_t>(t) / nt;
+    const uint8_t *nl = static_cast<const uint8_t *>(
+        memchr(p, '\n', static_cast<size_t>(buf + len - p)));
+    starts[t] = nl ? nl + 1 : buf + len;
   }
 
-  // Unwind deferred path CIGARs into the shared pools.
-  for (uint64_t pi = 0; pi < paths.size(); ++pi) {
-    const std::vector<uint32_t> &entries = deferred_path_cigars[pi];
-    uint32_t e_lo = static_cast<uint32_t>(overlaps.size() / 2);
-    size_t k = 0;
-    while (k < entries.size()) {
-      uint32_t n_ops = entries[k++];
-      uint32_t a_lo = static_cast<uint32_t>(alignment.size());
-      for (uint32_t j = 0; j < n_ops; ++j) alignment.push_back(entries[k++]);
-      overlaps.push_back(a_lo);
-      overlaps.push_back(static_cast<uint32_t>(alignment.size()));
+  // Phase 1: tokenize shards in parallel.
+  {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; ++t) {
+      threads.emplace_back(scan_lines, starts[t], starts[t + 1], &shards[t]);
     }
-    path_olaps.push_back(e_lo);
-    path_olaps.push_back(static_cast<uint32_t>(overlaps.size() / 2));
+    scan_lines(starts[0], starts[1], &shards[0]);
+    for (auto &th : threads) th.join();
+  }
+  for (const Shard &sh : shards) {
+    if (sh.err) return sh.err;  // earliest shard = earliest line
   }
 
+  // Header: exactly one across the whole file (error 2 matches the
+  // serial scan's "multiple headers").
+  for (const Shard &sh : shards) {
+    if (!sh.header_lo) continue;
+    if (P->header_lo) return 2;
+    P->header_lo = sh.header_lo;
+    P->header_hi = sh.header_hi;
+  }
+
+  // Bases for the byte pools + the global name map.
+  uint64_t n_segs = 0, seq_total = 0, opt_total = 0, name_total = 0;
+  NameMap nm;
+  for (Shard &sh : shards) {
+    sh.seq_base = seq_total;
+    sh.opt_base = opt_total;
+    sh.name_base = name_total;
+    seq_total += sh.seq_bytes;
+    opt_total += sh.opt_bytes;
+    name_total += sh.name_bytes;
+    for (const SegRec &s : sh.segs) {
+      if (nm.sequential && s.name != static_cast<int64_t>(n_segs) + 1) {
+        nm.sequential = false;
+      }
+      ++n_segs;
+    }
+  }
+  nm.n = n_segs;
+  if (!nm.sequential) {
+    nm.map.reserve(n_segs * 2);
+    uint64_t i = 0;
+    for (const Shard &sh : shards) {
+      for (const SegRec &s : sh.segs) {
+        nm.map.emplace(s.name, static_cast<uint32_t>(i++));
+      }
+    }
+  }
+  P->seq_data.resize(seq_total);
+  P->opt_data.resize(opt_total);
+  P->name_data.resize(name_total);
+
+  // Phase 2: materialize shards in parallel.
+  {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; ++t) {
+      threads.emplace_back(materialize_shard, &shards[t], std::cref(nm),
+                           P->seq_data.data(), P->opt_data.data(),
+                           P->name_data.data());
+    }
+    materialize_shard(&shards[0], nm, P->seq_data.data(),
+                      P->opt_data.data(), P->name_data.data());
+    for (auto &th : threads) th.join();
+  }
+  for (const Shard &sh : shards) {
+    if (sh.err) return sh.err;
+  }
+
+  // Ordered merge with scalar rebases. Global pool order: link CIGARs
+  // (by shard) then path CIGARs (by shard) — identical to the serial
+  // link-then-path deferral.
+  uint64_t l_align_total = 0, l_over_total = 0;
+  for (const Shard &sh : shards) {
+    l_align_total += sh.l_alignment.size();
+    l_over_total += sh.l_overlaps.size() / 2;
+  }
+  uint64_t steps_at = 0, l_align_at = 0, l_over_at = 0;
+  uint64_t p_align_at = l_align_total, p_over_at = l_over_total;
+  for (Shard &sh : shards) {
+    for (int64_t v : sh.seg_name) P->seg_name.push_back(v);
+    P->seg_seq.insert(P->seg_seq.end(), sh.seg_seq.begin(),
+                      sh.seg_seq.end());
+    P->seg_opt.insert(P->seg_opt.end(), sh.seg_opt.begin(),
+                      sh.seg_opt.end());
+    P->link_from.insert(P->link_from.end(), sh.link_from.begin(),
+                        sh.link_from.end());
+    P->link_to.insert(P->link_to.end(), sh.link_to.begin(),
+                      sh.link_to.end());
+    P->path_name.insert(P->path_name.end(), sh.path_name.begin(),
+                        sh.path_name.end());
+    P->steps.insert(P->steps.end(), sh.steps.begin(), sh.steps.end());
+    append_rebased(&P->path_steps, sh.path_steps,
+                   static_cast<uint32_t>(steps_at));
+    steps_at += sh.steps.size();
+    P->line_order.insert(P->line_order.end(), sh.line_order.begin(),
+                         sh.line_order.end());
+    // Link CIGAR pools.
+    P->alignment.insert(P->alignment.end(), sh.l_alignment.begin(),
+                        sh.l_alignment.end());
+    append_rebased(&P->overlaps, sh.l_overlaps,
+                   static_cast<uint32_t>(l_align_at));
+    append_rebased(&P->link_olap, sh.link_olap,
+                   static_cast<uint32_t>(l_over_at));
+    l_align_at += sh.l_alignment.size();
+    l_over_at += sh.l_overlaps.size() / 2;
+  }
+  // Path CIGAR pools land after every link's.
+  for (Shard &sh : shards) {
+    P->alignment.insert(P->alignment.end(), sh.p_alignment.begin(),
+                        sh.p_alignment.end());
+    append_rebased(&P->overlaps, sh.p_overlaps,
+                   static_cast<uint32_t>(p_align_at));
+    append_rebased(&P->path_olaps, sh.path_olaps,
+                   static_cast<uint32_t>(p_over_at));
+    p_align_at += sh.p_alignment.size();
+    p_over_at += sh.p_overlaps.size() / 2;
+  }
   return 0;
 }
 

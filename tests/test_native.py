@@ -56,6 +56,28 @@ def test_sparse_names_parity():
     assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
 
 
+def test_multithreaded_shards_identical(monkeypatch):
+    """The sharded parallel parse must be byte-identical to one shard,
+    including CIGAR pools (link-then-path order) and sparse names."""
+    from graphgen import big_step_graph, random_graph
+
+    texts = [
+        big_step_graph(400, 30_000, 7, seed=5).encode(),
+        random_graph(
+            seed=9, n_segs=64, n_paths=12, with_overlap_col=True
+        ).encode(),
+        # Sparse names force the hash-map path across shards.
+        b"S\t10\tAA\nS\t3\tCC\nS\t99\tGG\n"
+        b"P\tp\t99+,10-,3+\t*\nL\t10\t+\t3\t-\t2M\n",
+    ]
+    for text in texts:
+        monkeypatch.setenv("POLLEN_SCAN_THREADS", "1")
+        ref = parse_gfa_native(text)
+        for nt in ("2", "3", "13"):
+            monkeypatch.setenv("POLLEN_SCAN_THREADS", nt)
+            assert_same(ref, parse_gfa_native(text))
+
+
 @pytest.mark.parametrize("spare", [0.0, 0.5])
 def test_convert_direct_to_file(tmp_path, graph_path, spare):
     """gfa_convert writes a file byte-identical to parse + save_flatgfa."""
