@@ -265,8 +265,9 @@ class FlatGFA:
         return emit_gfa(self._a, order="preserved")
 
     def write_gfa(self, filename: str) -> None:
-        with open(filename, "w", encoding="ascii") as f:
-            f.write(emit_gfa(self._a, order="preserved"))
+        from .emit import emit_gfa_to_file
+
+        emit_gfa_to_file(self._a, filename)
 
     def write_flatgfa(self, filename: str) -> None:
         save_flatgfa(filename, self._a)

@@ -40,8 +40,9 @@ def _store(args: argparse.Namespace, g: GraphArrays) -> bool:
         save_flatgfa(args.output, g, spare=args.prealloc_factor)
         return True
     if args.output_gfa:
-        with open(args.output_gfa, "w", encoding="ascii") as f:
-            f.write(emit_gfa(g, order="preserved"))
+        from .emit import emit_gfa_to_file
+
+        emit_gfa_to_file(g, args.output_gfa)
         return True
     return False
 

@@ -223,6 +223,25 @@ def emit_gfa(
     return "".join(line + "\n" for line in lines)
 
 
+def emit_gfa_to_file(g: GraphArrays, path: str) -> None:
+    """Write preserved-order GFA text to ``path``.
+
+    Prefers the C++ emitter's direct-to-file path (the transform
+    commands are emit-bound; this skips the Python string round trip),
+    falling back to ``emit_gfa`` + write."""
+    try:
+        from .native import emit_gfa_file_native
+
+        if emit_gfa_file_native(g, path):
+            return
+    except OSError:
+        raise
+    except Exception:
+        pass
+    with open(path, "w") as f:
+        f.write(emit_gfa(g, order="preserved"))
+
+
 def _canonical_link_lines(g: GraphArrays) -> List[str]:
     """L lines in the spec's canonical direction (flip when the
     destination name sorts first, or for a reversed self-link)."""

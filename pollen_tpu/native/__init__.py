@@ -117,6 +117,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double,
     ]
     lib.gfa_convert.restype = ctypes.c_int
+    lib.gfa_emit_file.argtypes = [
+        ctypes.POINTER(_GfaOut),
+        ctypes.c_char_p,
+    ]
+    lib.gfa_emit_file.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -189,6 +194,22 @@ def emit_gfa_native(g) -> Optional[str]:
         return ctypes.string_at(buf, size.value).decode("ascii")
     finally:
         lib.gfa_text_free(buf)
+
+
+def emit_gfa_file_native(g, out_path: str) -> bool:
+    """Render preserved-order GFA text straight to ``out_path`` with the
+    C++ emitter — no Python string materialization (the transform
+    commands are emit-bound). False means "fall back"."""
+    lib = _load()
+    if lib is None:
+        return False
+    out = _GfaOut()
+    keep = _fill_struct(out, g)
+    code = lib.gfa_emit_file(ctypes.byref(out), os.fsencode(out_path))
+    del keep
+    if code >= 100:
+        raise OSError(f"native GFA emit failed writing {out_path}")
+    return code == 0
 
 
 def convert_gfa_native(

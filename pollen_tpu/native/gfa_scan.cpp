@@ -829,18 +829,15 @@ void put_cigars(std::vector<uint8_t> *out, const GfaOut &g, uint32_t e_lo,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Render the arena as GFA text in preserved line order. The returned
-// buffer is malloc'd; the caller frees it with gfa_text_free.
-uint8_t *gfa_emit(const GfaOut *g, uint64_t *out_len) {
-  std::vector<uint8_t> out;
-  // Rough reservation: sequence bytes + ~24 bytes/line of structure.
-  out.reserve(g->n_seq + g->n_name_data +
-              24 * (g->n_segs + g->n_links + g->n_lines) + 8 * g->n_steps);
-
-  uint64_t si = 0, pi = 0, li = 0;
-  for (uint64_t i = 0; i < g->n_lines; ++i) {
+// Render lines [lo, hi) of the preserved order into ``out``; si/pi/li
+// are the segment/path/link cursors at line ``lo``. Returns false on a
+// corrupt line_order byte.
+bool emit_lines(const GfaOut *g, uint64_t lo, uint64_t hi, uint64_t si,
+                uint64_t pi, uint64_t li, std::vector<uint8_t> *outp) {
+  std::vector<uint8_t> &out = *outp;
+  for (uint64_t i = lo; i < hi; ++i) {
     switch (g->line_order[i]) {
       case 0:  // header
         put_bytes(&out, reinterpret_cast<const uint8_t *>("H\t"), 2);
@@ -895,18 +892,133 @@ uint8_t *gfa_emit(const GfaOut *g, uint64_t *out_len) {
         break;
       }
       default:
-        *out_len = 0;
-        return nullptr;
+        return false;
     }
     out.push_back('\n');
   }
+  return true;
+}
 
-  uint8_t *buf = static_cast<uint8_t *>(malloc(out.size() + 1));
-  memcpy(buf, out.data(), out.size());
-  *out_len = out.size();
+}  // namespace
+
+extern "C" {
+
+// Render the arena as GFA text in preserved line order, sharded over
+// line ranges (per-shard segment/path/link cursors come from a prefix
+// count of line_order, so shard outputs concatenate to exactly the
+// serial rendering). The returned buffer is malloc'd; the caller frees
+// it with gfa_text_free.
+uint8_t *gfa_emit(const GfaOut *g, uint64_t *out_len) {
+  const uint64_t est = g->n_seq + g->n_name_data +
+                       24 * (g->n_segs + g->n_links + g->n_lines) +
+                       8 * g->n_steps;
+  const int nt = pick_threads(est);
+
+  // Estimated render COST per line — lines vary over 5+ orders of
+  // magnitude (a pangenome P line renders megabytes), so shards
+  // balance by weight, not line count. Steps cost ~6x their rendered
+  // bytes (digit loops vs the S lines' straight memcpy), hence the
+  // per-step factor.
+  auto line_weight = [g](uint8_t kind, uint64_t si, uint64_t pi) -> uint64_t {
+    switch (kind) {
+      case 1:
+        return 8 + g->seg_seq[si * 2 + 1] - g->seg_seq[si * 2];
+      case 2:
+        return 16 +
+               48 * static_cast<uint64_t>(g->path_steps[pi * 2 + 1] -
+                                          g->path_steps[pi * 2]);
+      case 3:
+        return 96;
+      default:
+        return 8 + g->n_header;
+    }
+  };
+  uint64_t total_w = 0;
+  {
+    uint64_t si = 0, pi = 0;
+    for (uint64_t i = 0; i < g->n_lines; ++i) {
+      uint8_t k = g->line_order[i];
+      total_w += line_weight(k, si, pi);
+      si += (k == 1);
+      pi += (k == 2);
+    }
+  }
+
+  std::vector<std::vector<uint8_t>> parts(nt);
+  // One char per shard: vector<bool> packs bits and is not safe for
+  // concurrent writes to distinct elements.
+  std::vector<char> ok(nt, 1);
+  std::vector<std::thread> threads;
+  uint64_t si = 0, pi = 0, li = 0, at = 0, w_at = 0;
+  for (int t = 0; t < nt; ++t) {
+    const uint64_t lo = at;
+    const uint64_t w_target = total_w * static_cast<uint64_t>(t + 1) / nt;
+    uint64_t s0 = si, p0 = pi, l0 = li;
+    const uint64_t w_before = w_at;
+    uint64_t hi = lo;
+    while (hi < g->n_lines && (w_at < w_target || t == nt - 1)) {
+      uint8_t k = g->line_order[hi];
+      w_at += line_weight(k, si, pi);
+      si += (k == 1);
+      pi += (k == 2);
+      li += (k == 3);
+      ++hi;
+    }
+    parts[t].reserve(w_at - w_before + 64);
+    if (t == nt - 1) {
+      ok[t] = emit_lines(g, lo, hi, s0, p0, l0, &parts[t]);
+    } else {
+      threads.emplace_back([g, lo, hi, s0, p0, l0, t, &parts, &ok] {
+        ok[t] = emit_lines(g, lo, hi, s0, p0, l0, &parts[t]);
+      });
+    }
+    at = hi;
+  }
+  for (auto &th : threads) th.join();
+  for (int t = 0; t < nt; ++t) {
+    if (!ok[t]) {
+      *out_len = 0;
+      return nullptr;
+    }
+  }
+
+  uint64_t total = 0;
+  for (const auto &p : parts) total += p.size();
+  uint8_t *buf = static_cast<uint8_t *>(malloc(total + 1));
+  uint64_t off = 0;
+  for (const auto &p : parts) {
+    memcpy(buf + off, p.data(), p.size());
+    off += p.size();
+  }
+  *out_len = total;
   return buf;
 }
 
 void gfa_text_free(uint8_t *buf) { free(buf); }
+
+// Render the arena as GFA text straight into ``out_path`` — the
+// emit-bound transform path (chop/crush/flip...) skips the Python
+// string round trip entirely. Returns 0 on success, 1 on corrupt
+// line_order, 100+ on IO errors.
+int gfa_emit_file(const GfaOut *g, const char *out_path) {
+  uint64_t len = 0;
+  uint8_t *buf = gfa_emit(g, &len);
+  if (!buf) return 1;
+  int fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) {
+    free(buf);
+    return 100;
+  }
+  uint64_t done = 0;
+  bool ok = true;
+  while (ok && done < len) {
+    ssize_t w = write(fd, buf + done, len - done);
+    if (w <= 0) ok = false;
+    else done += static_cast<uint64_t>(w);
+  }
+  if (close(fd) != 0) ok = false;
+  free(buf);
+  return ok ? 0 : 101;
+}
 
 }  // extern "C"

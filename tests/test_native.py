@@ -56,6 +56,19 @@ def test_sparse_names_parity():
     assert_same(parse_gfa(text, native=False), parse_gfa_native(text))
 
 
+def test_emit_to_file_matches_emit(tmp_path, graph_path, monkeypatch):
+    """The direct-to-file native emit == emit_gfa == the input bytes."""
+    from pollen_tpu.emit import emit_gfa, emit_gfa_to_file
+
+    monkeypatch.setenv("POLLEN_SCAN_THREADS", "3")
+    data = graph_path.read_bytes()
+    g = parse_gfa(data)
+    out = tmp_path / "o.gfa"
+    emit_gfa_to_file(g, str(out))
+    assert out.read_bytes() == data
+    assert emit_gfa(g, order="preserved").encode() == data
+
+
 def test_multithreaded_shards_identical(monkeypatch):
     """The sharded parallel parse must be byte-identical to one shard,
     including CIGAR pools (link-then-path order) and sparse names."""
