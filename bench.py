@@ -249,7 +249,10 @@ def measure_depth(dg, reps: int, chain: int, impl: str = "scan") -> float:
         depth_uniq_from_cumsums,
         masked_depth_cumsums,
     )
-    from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
+    from pollen_tpu.ops.depth import (
+        seg_depth_with_uniq_cross,
+        seg_depth_with_uniq_ell,
+    )
 
     p_pad = -(-(dg.num_paths + 1) // 128) * 128
     on_tpu = jax.default_backend() != "cpu"
@@ -258,7 +261,11 @@ def measure_depth(dg, reps: int, chain: int, impl: str = "scan") -> float:
     def chained(dg, mask, k):
         def body(i, carry):
             mask, acc = carry
-            if impl == "cross":
+            if impl == "ell":
+                depth, uniq = seg_depth_with_uniq_ell(
+                    dg, mask, pallas=on_tpu
+                )
+            elif impl == "cross":
                 depth, uniq = seg_depth_with_uniq_cross(
                     dg, mask, pallas=on_tpu
                 )
@@ -316,16 +323,19 @@ def main() -> None:
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
     print(f"# ingest {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    from pollen_tpu.ops.depth import _cross_beats_scan
+    from pollen_tpu.ops.depth import _best_masked_impl
 
     on_tpu = jax.default_backend() != "cpu"
     impl = os.environ.get("POLLEN_BENCH_IMPL")
     if impl is None:
-        if _cross_beats_scan(dg):
-            impl = "cross"
-        else:
+        impl = _best_masked_impl(dg)
+        if impl not in ("ell", "cross"):
             impl = "scan" if on_tpu else "xla"
-    if impl == "cross":
+    if impl == "ell":
+        bytes_per_step = (
+            4.0 * (int(dg.cross_ell.size) + int(dg.ell_res.size)) / n_steps
+        )
+    elif impl == "cross":
         bytes_per_step = float(int(dg.cross_matrix.size)) / n_steps
     elif impl == "scan":
         bytes_per_step = 16.0

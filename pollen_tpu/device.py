@@ -83,6 +83,9 @@ from .flatgfa import GraphArrays
         "cross_matrix",
         "cross_res",
         "cross_res_seg",
+        "cross_ell",
+        "ell_res",
+        "ell_res_seg",
     ],
     meta_fields=["num_segments", "num_paths", "cross_nibble"],
 )
@@ -127,6 +130,15 @@ class DeviceGraph:
     cross_matrix: jax.Array  # uint8[P_pad/2, N_pad] | int8[P_pad, N_pad]
     cross_res: jax.Array  # int32[P_pad, K_pad] or (0, 0)
     cross_res_seg: jax.Array  # int32[K_pad]
+
+    # ELL-packed run index (kernels/ellscan.py): K slots per segment
+    # column, each ``path << 16 | count``; empty when runs overflow the
+    # int16 packing or the budget. Its sidecar holds the FULL counts of
+    # segments whose runs did not fit K slots (their ELL columns are
+    # empty), fixing both depth and uniq.
+    cross_ell: jax.Array  # int32[K, N_pad] or (0, 0)
+    ell_res: jax.Array  # int32[P_pad, K2_pad] or (0, 0)
+    ell_res_seg: jax.Array  # int32[K2_pad]
 
     num_segments: int
     num_paths: int
@@ -291,6 +303,34 @@ def build_device_graph(
         cross_res = np.zeros((0, 0), np.int32)
         cross_res_seg = np.zeros(0, np.int32)
 
+    # ELL-packed run index: the sparse complement of the dense crossing
+    # matrix (kernels/ellscan.py). Built alongside it when paths fit the
+    # int16 packing and the slots fit the budget; query-time cost model
+    # (ops/depth.py) picks whichever index streams fewer bytes.
+    ell = np.zeros((0, 0), np.int32)
+    ell_res = np.zeros((0, 0), np.int32)
+    ell_res_seg = np.zeros(0, np.int32)
+    if (
+        s > 0
+        and 0 < p < (1 << 16)
+        and n > 0
+        and cross_matrix != "never"
+    ):
+        from .kernels.ellscan import build_ell
+
+        ell_c, heavy = build_ell(run_path, run_count, run_seg, n)
+        k2_pad = -(-heavy.size // LANES) * LANES if heavy.size else 0
+        ell_bytes = ell_c.size * 4 + p_pad_m * k2_pad * 4
+        if cross_matrix == "always" or ell_bytes <= budget:
+            ell = ell_c
+            ell_res = np.zeros((p_pad_m, k2_pad), np.int32)
+            ell_res_seg = np.full(k2_pad, RES_SENTINEL, np.int32)
+            if heavy.size:
+                hv = np.isin(run_seg, heavy)
+                col = np.searchsorted(heavy, run_seg[hv])
+                ell_res[run_path[hv], col] = run_count[hv]
+                ell_res_seg[: heavy.size] = heavy
+
     # Pad the sorted and run indexes to the Pallas block size: pad
     # entries use a sentinel path id (= p, masked to 0) / zero counts,
     # and they sit beyond the boundary tables so diffs never see them.
@@ -347,6 +387,9 @@ def build_device_graph(
         cross_matrix=put(jnp.asarray(cross)),
         cross_res=put(jnp.asarray(cross_res)),
         cross_res_seg=put(jnp.asarray(cross_res_seg)),
+        cross_ell=put(jnp.asarray(ell)),
+        ell_res=put(jnp.asarray(ell_res)),
+        ell_res_seg=put(jnp.asarray(ell_res_seg)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,

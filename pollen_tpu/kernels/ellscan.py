@@ -1,0 +1,189 @@
+"""ELL-packed run index: masked depth + uniq with no gathers, no
+boundary stage, and no dense (path, segment) matrix.
+
+The run-level index (device.py) is a sparse matrix: per segment, the
+list of (path, count) crossings. This kernel stores it ELLPACK-style —
+``K`` fixed slots per segment column, each an int32 packing
+``path << 16 | count`` (empty slots are 0) — so the masked depth query
+is a short, regular reduction over the slot axis:
+
+    depth[s] = sum_k  mask[path(v_ks)] * count(v_ks)
+    uniq[s]  = sum_k  mask[path(v_ks)] * (v_ks != 0)
+
+The mask lookup — the gather that makes XLA's TPU backend crawl — is
+replaced by **bitwise word selection**: the query mask is packed into
+P/32 int32 words held in SMEM; each slot extracts its path's bit with
+a constant-depth select chain plus one variable shift. Everything is
+int32 VPU work on K*N values; with crossings averaging ~2 runs per
+segment this touches ~K/P of the dense crossing matrix's cells
+(kernels/crossmat.py) and ~4 bytes per run of HBM.
+
+Segments with more than K runs (or any count >= 2**16) are routed
+whole to the dense residual sidecar (device.py), which restores both
+depth and uniq with one tiny dot + K-sized scatter.
+
+Reference semantics: flatgfa/src/ops/depth.rs:15-39. Layout pick per
+graph by the byte-cost model in ops/depth.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+# Tile width along the segment axis; (K, width) int32 slots per step.
+ELL_BLOCK = 8192
+COUNT_BITS = 16
+COUNT_MAX = (1 << COUNT_BITS) - 1
+
+
+def pick_ell_k(
+    runs_per_seg: np.ndarray, num_paths: int, n_pad: int
+) -> int:
+    """K in {1, 2, 4, 8, 16} minimizing total streamed bytes: 4 B per
+    slot over all columns, plus the dense int32 sidecar rows of every
+    segment whose runs overflow K slots."""
+    p_pad = -(-max(num_paths, 1) // LANES) * LANES
+    best_k, best_cost = 1, None
+    for k in (1, 2, 4, 8, 16):
+        heavy = int((runs_per_seg > k).sum())
+        heavy_pad = -(-heavy // LANES) * LANES if heavy else 0
+        cost = 4 * k * n_pad + 4 * p_pad * heavy_pad
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def build_ell(
+    run_path: np.ndarray,
+    run_count: np.ndarray,
+    run_seg: np.ndarray,
+    num_segments: int,
+    k: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack the run-level index into ELL slots.
+
+    Returns ``(ell, heavy_segs)``: ``ell`` is int32[K, N_pad] with
+    ``path << 16 | count`` per slot, zero-padded; ``heavy_segs`` lists
+    segments whose runs did NOT fit (too many runs or count overflow) —
+    their columns are left empty and the caller routes their full
+    counts to the dense sidecar. Runs must arrive segment-grouped (the
+    (segment, path) sort order of device.py ingest).
+    """
+    n_pad = -(-max(num_segments, 1) // LANES) * LANES
+    runs_per_seg = np.bincount(run_seg, minlength=num_segments)
+    if k is None:
+        k = pick_ell_k(runs_per_seg, int(run_path.max(initial=0)) + 1, n_pad)
+    # Slot index of each run within its segment (runs are grouped).
+    seg_starts = np.concatenate(([0], np.cumsum(runs_per_seg)))
+    slot = np.arange(run_seg.size, dtype=np.int64) - seg_starts[run_seg]
+
+    heavy = np.flatnonzero(runs_per_seg > k).astype(np.int32)
+    big = np.unique(run_seg[run_count > COUNT_MAX]).astype(np.int32)
+    if big.size:
+        heavy = np.union1d(heavy, big).astype(np.int32)
+    ok = np.ones(num_segments, dtype=bool)
+    ok[heavy] = False
+    keep = ok[run_seg] & (slot < k)
+
+    ell = np.zeros((k, n_pad), np.int32)
+    ell[slot[keep], run_seg[keep]] = (
+        run_path[keep].astype(np.int32) << COUNT_BITS
+    ) | run_count[keep].astype(np.int32)
+    return ell, heavy
+
+
+def _select_word(widx: jax.Array, words) -> jax.Array:
+    """Per-lane selection of the mask word ``words[widx]`` via a linear
+    select chain — ``words`` is a static-length list of scalar int32s,
+    so this is n_words-1 compare+selects, no gather."""
+    out = jnp.full(widx.shape, words[-1], jnp.int32)
+    for j in range(len(words) - 2, -1, -1):
+        out = jnp.where(widx == j, words[j], out)
+    return out
+
+
+def _kernel(mask_ref, ell_ref, depth_ref, uniq_ref, *, n_words):
+    v = ell_ref[:]  # (K, width) int32
+    pid = v >> COUNT_BITS  # v >= 0, so arithmetic shift is fine
+    cnt = v & COUNT_MAX
+    words = [mask_ref[j] for j in range(n_words)]
+    w32 = _select_word(pid >> 5, words)
+    bit = (w32 >> (pid & 31)) & 1
+    depth = jnp.sum(bit * cnt, axis=0, keepdims=True)
+    uniq = jnp.sum(bit * (v != 0).astype(jnp.int32), axis=0, keepdims=True)
+    depth_ref[:] = depth
+    uniq_ref[:] = uniq
+
+
+def pack_mask_words(mask: jax.Array, n_words: int) -> jax.Array:
+    """Pack a 0/1 path mask into int32 bit words (path p -> bit p%32 of
+    word p//32)."""
+    p_pad = n_words * 32
+    m = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
+        mask.astype(jnp.int32)
+    )
+    shifted = m.reshape(n_words, 32) << jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(shifted, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_ell_depth(
+    ell: jax.Array,  # int32[K, N_pad]
+    mask: jax.Array,  # int32/bool[>=P] (0/1)
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(depth, uniq) int32[N_pad]: one streamed pass over the slots."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, n_pad = ell.shape
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+    width = ELL_BLOCK if n_pad % ELL_BLOCK == 0 else LANES
+    assert n_pad % width == 0
+
+    ell_block = pl.BlockSpec(
+        (k, width), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    o_block = pl.BlockSpec(
+        (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    with jax.enable_x64(False):
+        depth, uniq = pl.pallas_call(
+            functools.partial(_kernel, n_words=n_words),
+            grid=(n_pad // width,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                ell_block,
+            ],
+            out_specs=(o_block, o_block),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            ),
+            interpret=interpret,
+        )(words, ell)
+    return depth[0], uniq[0]
+
+
+@jax.jit
+def masked_ell_depth_xla(
+    ell: jax.Array, mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Portable fallback (CPU, or shapes the kernel rejects): the same
+    slot reduction with a plain mask gather."""
+    pid = ell >> COUNT_BITS
+    cnt = ell & COUNT_MAX
+    m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
+        mask.astype(jnp.int32)
+    )
+    bit = m[pid]
+    depth = jnp.sum(bit * cnt, axis=0)
+    uniq = jnp.sum(bit * (ell != 0).astype(jnp.int32), axis=0)
+    return depth, uniq

@@ -156,29 +156,74 @@ def seg_depth_with_uniq_cross(
     return depth[: dg.num_segments], uniq[: dg.num_segments]
 
 
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def seg_depth_with_uniq_ell(
+    dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) via the ELL-packed run index: a short int32
+    reduction over K slots per segment with bitwise mask-word selection
+    — no gathers, no boundary stage, ~4 B of HBM per run
+    (kernels/ellscan.py). The sidecar restores segments whose runs
+    overflowed the K slots (their full counts live there, so both depth
+    and uniq get fixed)."""
+    from ..kernels.ellscan import masked_ell_depth, masked_ell_depth_xla
+
+    m = path_mask.astype(jnp.int32)[: dg.num_paths]
+    fn = masked_ell_depth if pallas else masked_ell_depth_xla
+    depth, uniq = fn(dg.cross_ell, m)
+    if dg.ell_res_seg.size:
+        mm = (
+            jnp.zeros(dg.ell_res.shape[0], jnp.int32)
+            .at[: dg.num_paths]
+            .set(m)
+        )
+        fix_d = jnp.sum(dg.ell_res * mm[:, None], axis=0, dtype=jnp.int32)
+        fix_u = jnp.sum(
+            jnp.minimum(dg.ell_res, 1) * mm[:, None],
+            axis=0,
+            dtype=jnp.int32,
+        )
+        depth = depth.at[dg.ell_res_seg].add(fix_d, mode="drop")
+        uniq = uniq.at[dg.ell_res_seg].add(fix_u, mode="drop")
+    return depth[: dg.num_segments], uniq[: dg.num_segments]
+
+
 # Equivalent streamed bytes per segment for the scan family's boundary
 # stage (four N-sized gathers; XLA's TPU gather runs ~30x below the
 # streaming rate, measured on v5e — see docs/benchmarks.md).
 _BOUNDARY_EQUIV_BYTES = 128
 
 
-def _cross_beats_scan(dg: DeviceGraph) -> bool:
-    """Static cost model: stream the packed crossing matrix (1 byte
-    per one or two cells, no boundary stage) plus its residual sidecar
-    only when that moves fewer equivalent bytes than the cheapest
-    scan-family kernel (16 B/element over steps or runs, plus the
-    boundary gathers) — all shapes, so decidable at trace time."""
-    if dg.cross_matrix.size == 0:
-        return False
+def _masked_impl_costs(dg: DeviceGraph) -> dict:
+    """Equivalent streamed bytes per masked-depth query, per resident
+    index — all shapes, so decidable at trace time."""
     boundary = _BOUNDARY_EQUIV_BYTES * dg.num_segments
-    cross_bytes = dg.cross_matrix.size + 4 * dg.cross_res.size
-    scan_bytes = 16 * dg.padded_steps + boundary
-    run_bytes = (
-        16 * dg.run_path.shape[0] + boundary
-        if dg.run_path.shape[0]
-        else 1 << 62
-    )
-    return cross_bytes < min(scan_bytes, run_bytes)
+    costs = {
+        "scan": 16 * dg.padded_steps + boundary,
+        "xla": 24 * dg.padded_steps + boundary,
+    }
+    if dg.run_path.shape[0]:
+        costs["runs"] = 16 * dg.run_path.shape[0] + boundary
+    if dg.cross_matrix.size:
+        costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
+    if dg.cross_ell.size:
+        # int32 slots; the per-slot VPU work (~16 int ops) runs ~2
+        # equivalent streamed bytes per op at v5e's VPU:HBM ratio, so
+        # weight slots at ~3x their bytes to stay honest about the
+        # compute-bound regime.
+        costs["ell"] = 12 * dg.cross_ell.size + 4 * dg.ell_res.size
+    return costs
+
+
+def _best_masked_impl(dg: DeviceGraph) -> str:
+    costs = _masked_impl_costs(dg)
+    return min(costs, key=costs.get)
+
+
+def _cross_beats_scan(dg: DeviceGraph) -> bool:
+    """Whether the dense crossing matrix is the cheapest masked-depth
+    index (kept for callers that predate the ELL index)."""
+    return _best_masked_impl(dg) == "cross"
 
 
 @jax.jit
@@ -309,7 +354,10 @@ def run_seg_depth(
         mask = jnp.asarray(path_mask_for(g, subset_paths))
         on_tpu = jax.default_backend() not in ("cpu",)
         r, s = dg.run_path.shape[0], dg.padded_steps
-        if _cross_beats_scan(dg):
+        best = _best_masked_impl(dg)
+        if best == "ell":
+            depth, uniq = seg_depth_with_uniq_ell(dg, mask, pallas=on_tpu)
+        elif best == "cross":
             depth, uniq = seg_depth_with_uniq_cross(dg, mask, pallas=on_tpu)
         elif on_tpu and r and r * 8 < s:
             # Heavy crossing duplication: the run-level kernel touches

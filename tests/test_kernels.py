@@ -162,6 +162,101 @@ def test_cross_matrix_overflow_fixup():
         np.testing.assert_array_equal(np.asarray(u_c), np.asarray(u_x))
 
 
+def test_ell_matches_xla(graph_path):
+    """ELL-packed run depth (XLA fallback + Pallas interpret) vs the
+    masked-scan pipeline."""
+    from pollen_tpu.kernels.ellscan import (
+        masked_ell_depth,
+        pack_mask_words,
+    )
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g, cross_matrix="always")
+    assert dg.cross_ell.size
+    rng = np.random.default_rng(23)
+    for _ in range(2):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+        d_e, u_e = seg_depth_with_uniq_ell(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_x))
+
+        d_p, u_p = masked_ell_depth(
+            dg.cross_ell,
+            jnp.asarray(mask.astype(np.int32)),
+            interpret=True,
+        )
+        if dg.ell_res_seg.size:
+            mm = (
+                jnp.zeros(dg.ell_res.shape[0], jnp.int32)
+                .at[: dg.num_paths]
+                .set(jnp.asarray(mask.astype(np.int32)))
+            )
+            d_p = d_p.at[dg.ell_res_seg].add(
+                jnp.sum(dg.ell_res * mm[:, None], axis=0).astype(jnp.int32),
+                mode="drop",
+            )
+            u_p = u_p.at[dg.ell_res_seg].add(
+                jnp.sum(
+                    jnp.minimum(dg.ell_res, 1) * mm[:, None], axis=0
+                ).astype(jnp.int32),
+                mode="drop",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(d_p)[: dg.num_segments], np.asarray(d_x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(u_p)[: dg.num_segments], np.asarray(u_x)
+        )
+    # Mask-word packing round trip.
+    words = np.asarray(pack_mask_words(jnp.asarray(mask.astype(np.int32)), -(-dg.num_paths // 32)))
+    bits = [(int(words[p // 32]) >> (p % 32)) & 1 for p in range(dg.num_paths)]
+    np.testing.assert_array_equal(np.array(bits, bool), mask)
+
+
+def test_ell_heavy_segments_sidecar():
+    """Segments with more runs than K slots route whole to the ELL
+    sidecar; depth AND uniq both get fixed."""
+    from pollen_tpu.kernels.crossmat import RES_SENTINEL
+    from pollen_tpu.kernels.ellscan import build_ell
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
+
+    # Segment 1 crossed by 40 paths (40 runs); K picks small because
+    # most segments have 1 run.
+    lines = ["S\t1\tAA"] + [f"S\t{i}\tC" for i in range(2, 40)]
+    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(40)]
+    text = ("\n".join(lines) + "\n").encode()
+    from pollen_tpu.flatgfa import parse_gfa
+
+    g = parse_gfa(text)
+    dg = build_device_graph(g, cross_matrix="always")
+    assert dg.cross_ell.size
+    # Heavy segment present in the sidecar.
+    assert int(
+        (np.asarray(dg.ell_res_seg) < RES_SENTINEL).sum()
+    ) >= 1
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+        d_e, u_e = seg_depth_with_uniq_ell(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_x))
+    # Direct build_ell with forced K=1: the two-run segment overflows.
+    ell, heavy = build_ell(
+        np.array([0, 1, 0], np.int32),  # paths
+        np.array([2, 1, 70000], np.int32),  # counts (one > 16 bits)
+        np.array([0, 0, 1], np.int32),  # segments (grouped)
+        num_segments=2,
+        k=1,
+    )
+    assert ell.shape[0] == 1
+    # Segment 0 has 2 runs (> K) and segment 1 a count overflow: both heavy.
+    np.testing.assert_array_equal(heavy, [0, 1])
+    assert not ell[:, :2].any()
+
+
 def test_cross_matrix_batch(graph_path):
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_batch,
