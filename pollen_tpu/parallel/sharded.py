@@ -400,6 +400,89 @@ def sharded_cross_depth_fn(mesh: Mesh, nibble: bool = False):
     return query
 
 
+class ShardedEll(NamedTuple):
+    """ELL run index laid out over a mesh: slot columns (segments)
+    sharded across every device, heavy-segment sidecar replicated."""
+
+    ell: jax.Array  # int32[K, col_width * n_dev], column-sharded
+    res: jax.Array  # int32[P_pad, K2_pad], replicated
+    res_seg: jax.Array  # int32[K2_pad], replicated (sentinel-padded)
+    col_width: int  # segment columns per device
+    num_paths: int
+
+
+def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
+    """Lay the ELL run index out over the mesh (see ShardedEll);
+    returns None when the graph has no ELL index."""
+    if dg.cross_ell.size == 0:
+        return None
+    e = np.asarray(dg.cross_ell)
+    n_dev = mesh.size
+    k, n_pad = e.shape
+    width = -(-n_pad // (n_dev * 128)) * 128
+    total = width * n_dev
+    if total > n_pad:
+        e = np.concatenate(
+            [e, np.zeros((k, total - n_pad), e.dtype)], axis=1
+        )
+    col_shard = NamedSharding(mesh, P(None, STEP_AXES))
+    repl = NamedSharding(mesh, P())
+    return ShardedEll(
+        ell=jax.device_put(jnp.asarray(e), col_shard),
+        res=jax.device_put(dg.ell_res, repl),
+        res_seg=jax.device_put(dg.ell_res_seg, repl),
+        col_width=width,
+        num_paths=dg.num_paths,
+    )
+
+
+def sharded_ell_depth_fn(mesh: Mesh):
+    """Mesh-wide masked (depth, uniq) over the sharded ELL run index —
+    the same zero-collective tensor parallelism as the sharded crossing
+    matrix: every device reduces its own slot columns, the replicated
+    sidecar is range-filtered locally, outputs stay segment-sharded."""
+    from ..kernels.ellscan import COUNT_BITS, COUNT_MAX
+
+    @jax.jit
+    def query(ell, res, res_seg, mask):
+        def worker(e, res, res_seg, mask):
+            idx = jax.lax.axis_index(STEP_AXES)
+            width = e.shape[1]
+            pid = e >> COUNT_BITS
+            cnt = e & COUNT_MAX
+            m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
+                mask.astype(jnp.int32)
+            )
+            bit = m[pid]
+            depth = jnp.sum(bit * cnt, axis=0)
+            uniq = jnp.sum(bit * (e != 0).astype(jnp.int32), axis=0)
+            if res_seg.shape[0]:
+                mm = (
+                    jnp.zeros(res.shape[0], jnp.int32)
+                    .at[: mask.shape[0]]
+                    .set(mask.astype(jnp.int32))
+                )
+                fix_d = jnp.sum(res * mm[:, None], axis=0, dtype=jnp.int32)
+                fix_u = jnp.sum(
+                    jnp.minimum(res, 1) * mm[:, None],
+                    axis=0,
+                    dtype=jnp.int32,
+                )
+                local = res_seg - idx * width
+                depth = depth.at[local].add(fix_d, mode="drop")
+                uniq = uniq.at[local].add(fix_u, mode="drop")
+            return depth, uniq
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(None, STEP_AXES), P(), P(), P()),
+            out_specs=(P(STEP_AXES), P(STEP_AXES)),
+        )(ell, res, res_seg, mask)
+
+    return query
+
+
 def full_mask(num_paths: int) -> jax.Array:
     """An all-paths mask (with the padding sentinel zeroed)."""
     return jnp.concatenate(

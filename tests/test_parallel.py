@@ -133,6 +133,57 @@ def test_sharded_cross_depth_matches_single(graph_path, mesh):
         np.testing.assert_array_equal(np.asarray(u_c)[:n], np.asarray(u_1))
 
 
+def test_sharded_ell_depth_matches_single(graph_path, mesh):
+    """Tensor-parallel ELL run index (zero-collective) vs the
+    single-device masked pipeline, including the heavy sidecar."""
+    from pollen_tpu.parallel.sharded import (
+        shard_ell_inputs,
+        sharded_ell_depth_fn,
+    )
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g, cross_matrix="always")
+    se = shard_ell_inputs(dg, mesh)
+    assert se is not None
+    query = sharded_ell_depth_fn(mesh)
+
+    rng = np.random.default_rng(29)
+    n = dg.num_segments
+    for _ in range(2):
+        bools = rng.integers(0, 2, dg.num_paths).astype(bool)
+        m = jnp.asarray(bools.astype(np.int32))
+        d_e, u_e = query(se.ell, se.res, se.res_seg, m)
+        d_1, u_1 = depth_op.seg_depth_with_uniq_masked(dg, jnp.asarray(bools))
+        np.testing.assert_array_equal(np.asarray(d_e)[:n], np.asarray(d_1))
+        np.testing.assert_array_equal(np.asarray(u_e)[:n], np.asarray(u_1))
+
+
+def test_sharded_ell_heavy_sidecar(mesh):
+    """Heavy segments' full counts land on the right device shard and
+    fix both depth and uniq."""
+    from pollen_tpu.flatgfa import parse_gfa
+    from pollen_tpu.parallel.sharded import (
+        shard_ell_inputs,
+        sharded_ell_depth_fn,
+    )
+
+    # Segment 1 gets 40 single-crossing runs (heavy for small K).
+    lines = ["S\t1\tAA"] + [f"S\t{i}\tC" for i in range(2, 40)]
+    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(40)]
+    text = ("\n".join(lines) + "\n").encode()
+    dg = build_device_graph(parse_gfa(text), cross_matrix="always")
+    se = shard_ell_inputs(dg, mesh)
+    assert se is not None and dg.ell_res_seg.size
+    m = jnp.ones(dg.num_paths, jnp.int32)
+    d_e, u_e = sharded_ell_depth_fn(mesh)(se.ell, se.res, se.res_seg, m)
+    d_1, u_1 = depth_op.seg_depth_with_uniq_masked(
+        dg, jnp.ones(dg.num_paths, bool)
+    )
+    n = dg.num_segments
+    np.testing.assert_array_equal(np.asarray(d_e)[:n], np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(u_e)[:n], np.asarray(u_1))
+
+
 def test_sharded_cross_overflow(mesh):
     """Clipped residuals land on the right device shard."""
     from pollen_tpu.flatgfa import parse_gfa
