@@ -25,6 +25,10 @@ from bench import _time_chain_raw, synth_device_graph  # noqa: E402
 
 
 def time_chained(fn, args, reps=2):
+    """args = (mask, *rest); rest flows through jit as REAL arguments —
+    closing over device arrays bakes them into the program as constants
+    that re-upload through the slow tunnel on every compile."""
+
     @jax.jit
     def chained(mask, k, *rest):
         def body(i, carry):
@@ -68,13 +72,13 @@ def main():
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
 
-        def q(mask):
+        def q(mask, dg):
             return seg_depth_with_uniq_ell(dg, mask, pallas=True)
 
         t0 = time.perf_counter()
-        d, u = q(mask)
+        d, u = q(mask, dg)
         np.asarray(jax.device_get(d))
-        # Cross-check against the XLA path on device.
+        # Cross-check against the crossing-matrix path on device.
         from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
 
         d2, u2 = seg_depth_with_uniq_cross(dg, mask, pallas=True)
@@ -83,7 +87,7 @@ def main():
         ) and bool(
             (np.asarray(jax.device_get(u)) == np.asarray(jax.device_get(u2))).all()
         )
-        per = time_chained(q, (mask,))
+        per = time_chained(q, (mask, dg))
         print(
             f"ell: {per * 1e6:.1f} us/query "
             f"({n_steps / per / 1e9:.1f} G steps/s) ok={ok} "
