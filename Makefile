@@ -23,9 +23,9 @@ benchsuite:
 	python -m benchsuite --modes depth paths --graphs smoke
 
 native:
-	g++ -O3 -shared -fPIC -std=c++17 \
+	g++ -O3 -shared -fPIC -pthread -std=c++17 \
 		-o pollen_tpu/native/libpollen_scan.so pollen_tpu/native/gfa_scan.cpp
-	g++ -O3 -shared -fPIC -std=c++17 \
+	g++ -O3 -shared -fPIC -pthread -std=c++17 \
 		-o pollen_tpu/native/libpollen_capi.so \
 		pollen_tpu/native/capi.cpp pollen_tpu/native/gfa_scan.cpp
 

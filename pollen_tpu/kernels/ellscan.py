@@ -37,7 +37,10 @@ import numpy as np
 
 LANES = 128
 # Tile width along the segment axis; (K, width) int32 slots per step.
-ELL_BLOCK = 8192
+# 8192-wide tiles balloon the Mosaic compile from ~1.6 s to >6 min on
+# this toolchain (lane-block unrolling over the select chain); 4096
+# compiles fast and keeps the grid short.
+ELL_BLOCK = 4096
 COUNT_BITS = 16
 COUNT_MAX = (1 << COUNT_BITS) - 1
 

@@ -22,6 +22,7 @@ def example(tmp_path_factory):
             "-O2",
             "-shared",
             "-fPIC",
+            "-pthread",
             "-std=c++17",
             "-o",
             str(d / "libpollen_capi.so"),
