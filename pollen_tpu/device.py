@@ -321,7 +321,11 @@ def build_device_graph(
         ell_c, heavy = build_ell(run_path, run_count, run_seg, n)
         k2_pad = -(-heavy.size // LANES) * LANES if heavy.size else 0
         ell_bytes = ell_c.size * 4 + p_pad_m * k2_pad * 4
-        if cross_matrix == "always" or ell_bytes <= budget:
+        # Charge the ELL index against the budget *remaining* after the
+        # dense matrix: both indexes stay resident, so their combined
+        # footprint must fit POLLEN_CROSS_BUDGET_MB.
+        spent = cross.nbytes + cross_res.nbytes if build_cross else 0
+        if cross_matrix == "always" or ell_bytes <= budget - spent:
             ell = ell_c
             ell_res = np.zeros((p_pad_m, k2_pad), np.int32)
             ell_res_seg = np.full(k2_pad, RES_SENTINEL, np.int32)

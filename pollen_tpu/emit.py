@@ -238,7 +238,7 @@ def emit_gfa_to_file(g: GraphArrays, path: str) -> None:
         raise
     except Exception:
         pass
-    with open(path, "w") as f:
+    with open(path, "w", encoding="ascii") as f:
         f.write(emit_gfa(g, order="preserved"))
 
 

@@ -102,18 +102,36 @@ def build_ell(
 
 
 def _select_word(widx: jax.Array, words) -> jax.Array:
-    """Per-lane selection of the mask word ``words[widx]`` via a linear
-    select chain — ``words`` is a static-length list of scalar int32s,
-    so this is n_words-1 compare+selects, no gather."""
-    out = jnp.full(widx.shape, words[-1], jnp.int32)
-    for j in range(len(words) - 2, -1, -1):
-        out = jnp.where(widx == j, words[j], out)
-    return out
+    """Per-lane selection of the mask word ``words[widx]`` via a
+    log-depth tournament of compare+selects — ``words`` is a
+    static-length list of scalar int32s, so this is n_words-1 selects
+    (depth ceil(log2 n_words)), no gather."""
+    # Round l merges candidates i and i + 2^l, keyed on bit l of widx.
+    cands = [
+        (jnp.int32(j), jnp.full(widx.shape, w, jnp.int32))
+        for j, w in enumerate(words)
+    ]
+    level = 0
+    while len(cands) > 1:
+        bit = (widx >> level) & 1
+        merged = []
+        for i in range(0, len(cands), 2):
+            if i + 1 == len(cands):
+                merged.append(cands[i])
+                continue
+            lo_j, lo = cands[i]
+            _, hi = cands[i + 1]
+            merged.append((lo_j, jnp.where(bit == 1, hi, lo)))
+        cands = merged
+        level += 1
+    return cands[0][1]
 
 
 def _kernel(mask_ref, ell_ref, depth_ref, uniq_ref, *, n_words):
     v = ell_ref[:]  # (K, width) int32
-    pid = v >> COUNT_BITS  # v >= 0, so arithmetic shift is fine
+    # Mask off the sign-extension: ``>>`` is arithmetic, and paths
+    # >= 2**15 set the packed word's sign bit.
+    pid = (v >> COUNT_BITS) & 0xFFFF
     cnt = v & COUNT_MAX
     words = [mask_ref[j] for j in range(n_words)]
     w32 = _select_word(pid >> 5, words)
@@ -181,7 +199,7 @@ def masked_ell_depth_xla(
 ) -> Tuple[jax.Array, jax.Array]:
     """Portable fallback (CPU, or shapes the kernel rejects): the same
     slot reduction with a plain mask gather."""
-    pid = ell >> COUNT_BITS
+    pid = (ell >> COUNT_BITS) & 0xFFFF  # zero-extend: >> is arithmetic
     cnt = ell & COUNT_MAX
     m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
         mask.astype(jnp.int32)

@@ -207,11 +207,16 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:
-        # int32 slots; the per-slot VPU work (~16 int ops) runs ~2
-        # equivalent streamed bytes per op at v5e's VPU:HBM ratio, so
-        # weight slots at ~3x their bytes to stay honest about the
-        # compute-bound regime.
-        costs["ell"] = 12 * dg.cross_ell.size + 4 * dg.ell_res.size
+        # int32 slots: 4 DMA bytes each, plus per-slot VPU work — ~8
+        # fixed int ops plus the mask-word select tournament, which
+        # scales with the word count (n_words - 1 compare+selects per
+        # slot; kernels/ellscan.py) — weighted at ~2 equivalent
+        # streamed bytes per full-width op at v5e's VPU:HBM ratio.
+        n_words = -(-max(dg.num_paths, 1) // 32)
+        per_slot = 4 + 2 * (8 + 2 * max(n_words - 1, 1))
+        costs["ell"] = (
+            per_slot * dg.cross_ell.size + 8 * dg.ell_res.size
+        )
     return costs
 
 

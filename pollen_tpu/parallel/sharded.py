@@ -448,7 +448,7 @@ def sharded_ell_depth_fn(mesh: Mesh):
         def worker(e, res, res_seg, mask):
             idx = jax.lax.axis_index(STEP_AXES)
             width = e.shape[1]
-            pid = e >> COUNT_BITS
+            pid = (e >> COUNT_BITS) & 0xFFFF  # zero-extend the path id
             cnt = e & COUNT_MAX
             m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
                 mask.astype(jnp.int32)

@@ -257,6 +257,39 @@ def test_ell_heavy_segments_sidecar():
     assert not ell[:, :2].any()
 
 
+def test_ell_high_path_ids():
+    """Path ids >= 2**15 set the packed word's sign bit; the kernels
+    must zero-extend (``(v >> 16) & 0xFFFF``), not sign-extend
+    (regression: sign-extension made the word select fall through to
+    the last mask word and return silently wrong depth/uniq)."""
+    from pollen_tpu.kernels.ellscan import (
+        build_ell,
+        masked_ell_depth,
+        masked_ell_depth_xla,
+    )
+
+    paths = np.array([5, 32768, 40000, 65535], np.int32)
+    counts = np.array([3, 7, 2, 1], np.int32)
+    segs = np.array([0, 0, 1, 2], np.int32)
+    ell, heavy = build_ell(paths, counts, segs, num_segments=128, k=2)
+    assert heavy.size == 0
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        mask = rng.integers(0, 2, 65536).astype(np.int32)
+        want_d = np.zeros(128, np.int64)
+        want_u = np.zeros(128, np.int64)
+        for p, c, s in zip(paths, counts, segs):
+            want_d[s] += mask[p] * c
+            want_u[s] += mask[p]
+        for fn in (
+            lambda e, m: masked_ell_depth(e, m, interpret=True),
+            masked_ell_depth_xla,
+        ):
+            d, u = fn(ell, jnp.asarray(mask))
+            np.testing.assert_array_equal(np.asarray(d)[:128], want_d)
+            np.testing.assert_array_equal(np.asarray(u)[:128], want_u)
+
+
 def test_cross_matrix_batch(graph_path):
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_batch,
