@@ -99,7 +99,7 @@ def _unpack_tile(t: jax.Array) -> jax.Array:
     )
 
 
-def _kernel(mask_ref, a_ref, depth_ref, uniq_ref, *, nibble):
+def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble):
     if nibble:
         a = _unpack_tile(a_ref[:])  # (P_pad, width) bf16
     else:
@@ -111,6 +111,14 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref, *, nibble):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # Only lane-row 0 of the dot carries the mask's result; writing
+    # just that row saves 7/8ths of the output traffic.
+    depth_ref[:] = depth[:1, :].astype(jnp.int32)
+    if uniq_ref is None:
+        # Depth-only variant: skipping the indicator skips the one
+        # full-size VPU op that does not hide under the DMA (the
+        # measured 31 vs 47 us/query gap at bench shape — CLAUDE.md).
+        return
     # Indicator without a comparison: counts are integers >= 0, so
     # min(a, 1) is exact — and Mosaic (this build) rejects bf16
     # compares outright.
@@ -121,20 +129,22 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref, *, nibble):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Only lane-row 0 of the dot carries the mask's result; writing
-    # just that row saves 7/8ths of the output traffic.
-    depth_ref[:] = depth[:1, :].astype(jnp.int32)
     uniq_ref[:] = uniq[:1, :].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nibble", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("nibble", "interpret", "uniq")
+)
 def masked_cross_depth(
     cross: jax.Array,  # uint8[P_pad/2, N_pad] packed or int8[P_pad, N_pad]
     mask: jax.Array,  # int32/bool[P_pad] (0/1), original path order
     nibble: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """(depth, uniq) int32[N_pad] — single fused pass over ``cross``."""
+    uniq: bool = True,
+):
+    """(depth, uniq) int32[N_pad] — single fused pass over ``cross``.
+
+    With ``uniq=False``, returns depth alone (one dot, no indicator)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -156,20 +166,21 @@ def masked_cross_depth(
     o_block = pl.BlockSpec(
         (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    out_specs = (o_block, o_block) if uniq else o_block
+    out_shape = jax.ShapeDtypeStruct((1, n_pad), jnp.int32)
     # Trace with x64 off: int64 grid literals break Mosaic lowering.
     with jax.enable_x64(False):
-        depth, uniq = pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_kernel, nibble=nibble),
             grid=(n_pad // width,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
-            out_specs=(o_block, o_block),
-            out_shape=(
-                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            ),
+            out_specs=out_specs,
+            out_shape=(out_shape, out_shape) if uniq else out_shape,
             interpret=interpret,
         )(m, cross)
-    return depth[0], uniq[0]
+    if uniq:
+        return out[0][0], out[1][0]
+    return out[0]
 
 
 def unpack_cross(cross: jax.Array) -> jax.Array:

@@ -1,18 +1,21 @@
-"""Time the ELL run-index depth kernel + XLA scatter-add on the TPU.
+"""Time the ELL run-index depth kernel pieces on the TPU, one stage
+per process (the tunnel's death windows punish big payloads: round 2's
+combined probe — two compiles + four full-vector readbacks ~6 MB
+through a 30 MB/s link — never fit its time box and GAVE UP 6 times).
 
-Round-2 probe #3. Questions:
-  1. What does the ELL kernel cost at the bench shape (K slots/seg,
-     bitwise mask-word select, int32 VPU reduction)?
-  2. What does ``depth.at[ids].add(vals, mode="drop")`` cost for K2 in
-     {256, 4k, 16k, 32k} sorted ids into an N=2^18 vector? (Decides
-     whether heavy columns can ride a scatter-fixed sidecar or must
-     stay in the dense matrix.)
+Stages (each: ONE compile, scalar-only readbacks):
+  ellk    - bare masked_ell_depth kernel (no sidecar)
+  ell     - full seg_depth_with_uniq_ell (kernel + sidecar fixup)
+  ellok   - on-device correctness: ELL vs XLA pipeline, 1-scalar diff
+  crossd  - depth-only crossing matrix (uniq dot + indicator skipped)
+  scatter - depth.at[ids].add cost for K2 in {256..32768}
 
-Usage: python probes/ell_probe.py [ell] [scatter]
+Usage: python probes/ell_probe.py <stage>
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -48,65 +51,115 @@ def time_chained(fn, args, reps=2):
         )
         if raw >= 0.29 or k >= 65536:
             return per_iter
+        k *= 8
 
 
 def main():
-    import os
-
     n_steps = int(os.environ.get("POLLEN_BENCH_STEPS", 2**22))
     n_segs = int(os.environ.get("POLLEN_BENCH_SEGS", 2**18))
     n_paths = int(os.environ.get("POLLEN_BENCH_PATHS", 128))
-    which = sys.argv[1:] or ["ell", "scatter"]
+    stage = sys.argv[1]
 
     t0 = time.perf_counter()
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
+    heavy = (
+        int((np.asarray(jax.device_get(dg.ell_res_seg)) < 2**30).sum())
+        if dg.ell_res_seg.size
+        else 0
+    )
     print(
         f"# ingest {time.perf_counter() - t0:.1f}s; "
-        f"ell {dg.cross_ell.shape} heavy "
-        f"{int((np.asarray(jax.device_get(dg.ell_res_seg)) < 2**30).sum()) if dg.ell_res_seg.size else 0}",
+        f"ell {dg.cross_ell.shape} heavy {heavy}",
         flush=True,
     )
 
-    if "ell" in which:
-        from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
+    if stage == "ellk":
+        from pollen_tpu.kernels.ellscan import masked_ell_depth
+
+        def q(mask, ell):
+            return masked_ell_depth(ell, mask)
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
+        t0 = time.perf_counter()
+        per = time_chained(q, (mask, dg.cross_ell))
+        print(
+            f"ellk: {per * 1e6:.1f} us/query "
+            f"({n_steps / per / 1e9:.1f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
+    elif stage == "ell":
+        from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
 
         def q(mask, dg):
             return seg_depth_with_uniq_ell(dg, mask, pallas=True)
 
+        mask = jnp.ones(dg.num_paths, jnp.int32)
         t0 = time.perf_counter()
-        d, u = q(mask, dg)
-        np.asarray(jax.device_get(d))
-        # Cross-check against the crossing-matrix path on device.
-        from pollen_tpu.ops.depth import seg_depth_with_uniq_cross
-
-        d2, u2 = seg_depth_with_uniq_cross(dg, mask, pallas=True)
-        ok = bool(
-            (np.asarray(jax.device_get(d)) == np.asarray(jax.device_get(d2))).all()
-        ) and bool(
-            (np.asarray(jax.device_get(u)) == np.asarray(jax.device_get(u2))).all()
-        )
         per = time_chained(q, (mask, dg))
         print(
             f"ell: {per * 1e6:.1f} us/query "
-            f"({n_steps / per / 1e9:.1f} G steps/s) ok={ok} "
-            f"(compile {time.perf_counter() - t0:.1f}s)",
+            f"({n_steps / per / 1e9:.1f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
             flush=True,
         )
 
-    if "scatter" in which:
+    elif stage == "ellok":
+        from pollen_tpu.ops.depth import (
+            seg_depth_with_uniq_ell,
+            seg_depth_with_uniq_masked,
+        )
+
+        @jax.jit
+        def diff(mask, dg):
+            d_e, u_e = seg_depth_with_uniq_ell(dg, mask, pallas=True)
+            d_x, u_x = seg_depth_with_uniq_masked(dg, mask)
+            return jnp.abs(d_e - d_x).sum() + jnp.abs(u_e - u_x).sum()
+
+        rng = np.random.default_rng(3)
+        mask = jnp.asarray(
+            rng.integers(0, 2, dg.num_paths).astype(np.int32)
+        )
+        t0 = time.perf_counter()
+        total = int(np.asarray(jax.device_get(diff(mask, dg))))
+        print(
+            f"ellok: diff={total} "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
+    elif stage == "crossd":
+        from pollen_tpu.kernels.crossmat import masked_cross_depth
+
+        p_pad = dg.cross_matrix.shape[0] * (2 if dg.cross_nibble else 1)
+
+        def q(mask, cross):
+            d = masked_cross_depth(
+                cross, mask, nibble=dg.cross_nibble, uniq=False
+            )
+            return d, d
+
+        mask = jnp.ones(p_pad, jnp.int32)
+        t0 = time.perf_counter()
+        per = time_chained(q, (mask, dg.cross_matrix))
+        print(
+            f"crossd: {per * 1e6:.1f} us/query "
+            f"({n_steps / per / 1e9:.1f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
+    elif stage == "scatter":
         rng = np.random.default_rng(5)
         base = jnp.zeros(n_segs, jnp.int32)
         for k2 in (256, 4096, 16384, 32768):
             ids = jnp.asarray(
-                np.sort(rng.choice(n_segs, size=k2, replace=False)).astype(
-                    np.int32
-                )
+                np.sort(
+                    rng.choice(n_segs, size=k2, replace=False)
+                ).astype(np.int32)
             )
-            vals = jnp.asarray(
-                rng.integers(1, 100, k2).astype(np.int32)
-            )
+            vals = jnp.asarray(rng.integers(1, 100, k2).astype(np.int32))
 
             def sc(mask, ids=ids, vals=vals):
                 out = base.at[ids].add(vals * mask[0], mode="drop")
@@ -116,9 +169,13 @@ def main():
             per = time_chained(sc, (jnp.ones(128, jnp.int32),))
             print(
                 f"scatter k2={k2}: {per * 1e6:.1f} us "
-                f"(compile {time.perf_counter() - t0:.1f}s)",
+                f"(total {time.perf_counter() - t0:.1f}s)",
                 flush=True,
             )
+        print("scatter: done", flush=True)
+
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
 
 
 if __name__ == "__main__":

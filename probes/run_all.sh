@@ -16,8 +16,24 @@ run_stage() {
   done
   echo "[$(date +%H:%M:%S)] $script $variant GAVE UP" >> "$OUT"
 }
+roofline_stage() {
+  # Seed the per-device roofline cache that bench.py's vs_baseline
+  # uses (48 h validity); one time-boxed try per loop pass.
+  for try in 1 2 3 4 5 6; do
+    echo "[$(date +%H:%M:%S)] roofline try $try" >> "$OUT"
+    if timeout 300 python -u -c \
+        "import bench; bench.roofline_child(2**25, 2, 64)" 2>&1 \
+        | grep -v WARNING | tee -a "$OUT" | grep -q "ROOFLINE [0-9]"; then
+      return 0
+    fi
+    sleep 60
+  done
+  echo "[$(date +%H:%M:%S)] roofline GAVE UP" >> "$OUT"
+}
+roofline_stage
+run_stage probes/ell_probe.py ellk "ellk:"
+run_stage probes/ell_probe.py crossd "crossd:"
 run_stage probes/ell_probe.py ell "ell:"
-run_stage probes/ell_probe.py scatter "k2=32768"
-run_stage probes/crossmat_floor.py vd "vd:"
-run_stage probes/crossmat_floor.py raw "raw:"
+run_stage probes/ell_probe.py ellok "ellok:"
+run_stage probes/ell_probe.py scatter "scatter: done" 600
 echo "[$(date +%H:%M:%S)] ALL DONE" >> "$OUT"
