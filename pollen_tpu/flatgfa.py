@@ -381,7 +381,60 @@ def parse_gfa(data: bytes, native: bool = True) -> GraphArrays:
         raise GFAParseError(f"malformed GFA structure: {exc}") from exc
 
 
-def _parse_gfa_numpy(data: bytes) -> GraphArrays:
+@dataclasses.dataclass
+class DeferredArrays:
+    """One byte range's pools with *unresolved* segment references.
+
+    The range-local output of phase-1 parsing: links and path steps
+    still carry raw segment names (they may reference segments defined
+    in a different range — the two-pass defer of the reference parser,
+    flatgfa/src/parse.rs:24-126, generalized across byte ranges). All
+    spans are relative to this range's own pools, so deferred ranges
+    concatenate with plain offset fixups (:func:`merge_resolved`).
+    """
+
+    header: np.ndarray  # uint8[*]
+    line_order: np.ndarray  # uint8[*]
+    # Segments.
+    seg_name: np.ndarray  # int64[N]
+    seg_seq: np.ndarray  # uint32[N, 2] into seq_data
+    seq_data: np.ndarray  # uint8[*]
+    seg_optional: np.ndarray  # uint32[N, 2] into optional_data
+    optional_data: np.ndarray  # uint8[*]
+    # Links (raw names; resolved by :func:`resolve_deferred`).
+    from_names: np.ndarray  # int64[L]
+    from_rev: np.ndarray  # bool[L]
+    to_names: np.ndarray  # int64[L]
+    to_rev: np.ndarray  # bool[L]
+    link_cig_pool: np.ndarray  # uint32[*] packed ops
+    link_cig_spans: np.ndarray  # uint32[L, 2] into link_cig_pool
+    # Paths (raw step names).
+    path_name: np.ndarray  # uint32[P, 2] into name_data
+    name_data: np.ndarray  # uint8[*]
+    step_names: np.ndarray  # int64[S]
+    step_rev: np.ndarray  # uint32[S]
+    steps_per_path: np.ndarray  # int64[P]
+    path_cig_pool: np.ndarray  # uint32[*]
+    path_cig_entry_spans: np.ndarray  # uint32[E, 2] into path_cig_pool
+    path_overlap_spans: np.ndarray  # uint32[P, 2] entry spans per path
+
+
+@dataclasses.dataclass
+class ResolvedArrays:
+    """A deferred range with its segment references resolved to global
+    ids (phase-2 output; still range-local spans)."""
+
+    d: DeferredArrays
+    link_from: np.ndarray  # uint32[L] packed handles
+    link_to: np.ndarray  # uint32[L]
+    steps: np.ndarray  # uint32[S] packed handles
+
+
+def _parse_gfa_deferred(data: bytes) -> DeferredArrays:
+    """Phase 1: parse one byte range's lines into range-local pools.
+
+    Pure local work — no segment name table needed; in a multi-host job
+    every host runs this over only its own range."""
     buf = np.frombuffer(data, dtype=np.uint8)
     starts, ends = _line_table(buf)
     kinds = buf[starts] if starts.size else np.zeros(0, np.uint8)
@@ -434,9 +487,7 @@ def _parse_gfa_numpy(data: bytes) -> GraphArrays:
         np.uint32
     )
 
-    names = NameIndex(seg_name)
-
-    # -- links ------------------------------------------------------------
+    # -- links (names stay raw) -------------------------------------------
     l_sel = np.flatnonzero(is_l)
     l_starts, l_ends = starts[l_sel], ends[l_sel]
     l_off = tab_offset[l_sel]
@@ -450,20 +501,11 @@ def _parse_gfa_numpy(data: bytes) -> GraphArrays:
         if ori.size and not ((ori == ord("+")) | (ori == ord("-"))).all():
             raise GFAParseError("bad link orientation")
 
-    link_from = (
-        (names.lookup(from_names).astype(np.uint32) << np.uint32(1))
-        | (from_ori == ord("-")).astype(np.uint32)
-    )
-    link_to = (
-        (names.lookup(to_names).astype(np.uint32) << np.uint32(1))
-        | (to_ori == ord("-")).astype(np.uint32)
-    )
-
     link_cig_pool, link_cig_spans = _parse_cigar_pool(
         buf, lt[3] + 1, l_ends
     )
 
-    # -- paths ------------------------------------------------------------
+    # -- paths (step names stay raw) --------------------------------------
     p_sel = np.flatnonzero(is_p)
     p_starts, p_ends = starts[p_sel], ends[p_sel]
     p_off = tab_offset[p_sel]
@@ -501,18 +543,11 @@ def _parse_gfa_numpy(data: bytes) -> GraphArrays:
     )
     step_names = parse_uints(steps_text, tok_start, ori_pos - tok_start)
     step_rev = (steps_text[ori_pos] == ord("-")).astype(np.uint32)
-    steps_arr = (
-        names.lookup(step_names).astype(np.uint32) << np.uint32(1)
-    ) | step_rev
 
     steps_per_path = (
         np.bincount(step_path, minlength=p_sel.shape[0])
         if ori_pos.size
         else np.zeros(p_sel.shape[0], np.int64)
-    )
-    sp_end = np.cumsum(steps_per_path)
-    path_steps = np.stack([sp_end - steps_per_path, sp_end], axis=1).astype(
-        np.uint32
     )
 
     # Path overlaps ('*' or a comma-separated CIGAR list). We parse each
@@ -523,13 +558,103 @@ def _parse_gfa_numpy(data: bytes) -> GraphArrays:
         _parse_path_overlaps(buf, ov_lo, ov_hi)
     )
 
+    return DeferredArrays(
+        header=header,
+        line_order=line_order,
+        seg_name=seg_name,
+        seg_seq=seg_seq,
+        seq_data=seq_data,
+        seg_optional=seg_optional,
+        optional_data=optional_data,
+        from_names=from_names,
+        from_rev=from_ori == ord("-"),
+        to_names=to_names,
+        to_rev=to_ori == ord("-"),
+        link_cig_pool=link_cig_pool,
+        link_cig_spans=link_cig_spans,
+        path_name=path_name,
+        name_data=name_data,
+        step_names=step_names,
+        step_rev=step_rev,
+        steps_per_path=steps_per_path,
+        path_cig_pool=path_cig_pool,
+        path_cig_entry_spans=path_cig_entry_spans,
+        path_overlap_spans=path_overlap_spans,
+    )
+
+
+def resolve_deferred(d: DeferredArrays, names: "NameIndex") -> ResolvedArrays:
+    """Phase 2: resolve one range's raw segment names against the
+    *global* name table (local work: O(this range's links + steps))."""
+    link_from = (
+        (names.lookup(d.from_names).astype(np.uint32) << np.uint32(1))
+        | d.from_rev.astype(np.uint32)
+    )
+    link_to = (
+        (names.lookup(d.to_names).astype(np.uint32) << np.uint32(1))
+        | d.to_rev.astype(np.uint32)
+    )
+    steps = (
+        names.lookup(d.step_names).astype(np.uint32) << np.uint32(1)
+    ) | d.step_rev.astype(np.uint32)
+    return ResolvedArrays(d=d, link_from=link_from, link_to=link_to, steps=steps)
+
+
+def _offset_spans(spans_list, sizes) -> np.ndarray:
+    """Concatenate span arrays, shifting each by its pool's offset."""
+    offsets = np.concatenate(([0], np.cumsum(sizes[:-1]))) if sizes else []
+    parts = [
+        s.astype(np.uint64) + np.uint64(off)
+        for s, off in zip(spans_list, offsets)
+    ]
+    return (
+        np.concatenate(parts, axis=0).astype(np.uint32)
+        if parts
+        else np.zeros((0, 2), np.uint32)
+    )
+
+
+def merge_resolved(ranges: List[ResolvedArrays]) -> GraphArrays:
+    """Assemble resolved ranges into one arena: pure concatenation with
+    span-offset fixups — byte-identical to a single-process parse of the
+    whole file (ids are assigned in file order either way)."""
+    ds = [r.d for r in ranges]
+    header = next((d.header for d in ds if d.header.size), np.zeros(0, np.uint8))
+
+    cat = np.concatenate
+    seq_sizes = [d.seq_data.shape[0] for d in ds]
+    opt_sizes = [d.optional_data.shape[0] for d in ds]
+    name_sizes = [d.name_data.shape[0] for d in ds]
+    lpool_sizes = [d.link_cig_pool.shape[0] for d in ds]
+    ppool_sizes = [d.path_cig_pool.shape[0] for d in ds]
+    pentry_sizes = [d.path_cig_entry_spans.shape[0] for d in ds]
+
+    seg_seq = _offset_spans([d.seg_seq for d in ds], seq_sizes)
+    seg_optional = _offset_spans([d.seg_optional for d in ds], opt_sizes)
+    path_name = _offset_spans([d.path_name for d in ds], name_sizes)
+    link_cig_spans = _offset_spans([d.link_cig_spans for d in ds], lpool_sizes)
+    path_cig_entry_spans = _offset_spans(
+        [d.path_cig_entry_spans for d in ds], ppool_sizes
+    )
+    path_overlap_spans = _offset_spans(
+        [d.path_overlap_spans for d in ds], pentry_sizes
+    )
+
+    steps_per_path = cat([d.steps_per_path for d in ds])
+    sp_end = np.cumsum(steps_per_path)
+    path_steps = np.stack([sp_end - steps_per_path, sp_end], axis=1).astype(
+        np.uint32
+    )
+
     # -- merge alignment pools (links first, then paths) -------------------
-    alignment = np.concatenate([link_cig_pool, path_cig_pool])
+    link_cig_pool = cat([d.link_cig_pool for d in ds])
+    path_cig_pool = cat([d.path_cig_pool for d in ds])
+    alignment = cat([link_cig_pool, path_cig_pool])
     path_cig_entry_spans = path_cig_entry_spans + np.uint32(
         link_cig_pool.shape[0]
     )
     # Overlap pool: one span per link CIGAR, then per path CIGAR entry.
-    overlaps = np.concatenate(
+    overlaps = cat(
         [link_cig_spans, path_cig_entry_spans], axis=0
     ).astype(np.uint32)
     nl = link_cig_spans.shape[0]
@@ -541,23 +666,29 @@ def _parse_gfa_numpy(data: bytes) -> GraphArrays:
 
     return GraphArrays(
         header=header,
-        seg_name=seg_name,
+        seg_name=cat([d.seg_name for d in ds]),
         seg_seq=seg_seq,
         seg_optional=seg_optional,
         path_name=path_name,
         path_steps=path_steps,
         path_overlaps=path_overlaps,
-        link_from=link_from,
-        link_to=link_to,
+        link_from=cat([r.link_from for r in ranges]),
+        link_to=cat([r.link_to for r in ranges]),
         link_overlap=link_overlap,
-        steps=steps_arr,
-        seq_data=seq_data,
+        steps=cat([r.steps for r in ranges]),
+        seq_data=cat([d.seq_data for d in ds]),
         overlaps=overlaps,
         alignment=alignment,
-        name_data=name_data,
-        optional_data=optional_data,
-        line_order=line_order,
+        name_data=cat([d.name_data for d in ds]),
+        optional_data=cat([d.optional_data for d in ds]),
+        line_order=cat([d.line_order for d in ds]),
     )
+
+
+def _parse_gfa_numpy(data: bytes) -> GraphArrays:
+    d = _parse_gfa_deferred(data)
+    names = NameIndex(d.seg_name)
+    return merge_resolved([resolve_deferred(d, names)])
 
 
 def _parse_path_overlaps(
