@@ -168,24 +168,42 @@ def _device_kind() -> str:
     return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
 
 
-def _roofline_cache_load() -> float | None:
-    """Last successful streaming-roofline measurement on this same
-    device kind, if any. The calibration is a device property, not a
-    workload property, so reusing a prior measurement when the flaky
-    tunnel makes a fresh one impossible is honest — and far more
-    faithful than falling back to the chip's nominal peak."""
+def _roofline_cache_read() -> dict:
+    """The cache file: {device_kind: {"roofline": B/s, "ts": epoch}}.
+    (Older single-entry files are migrated on read.)"""
     try:
         with open(_roofline_cache_path()) as f:
             rec = json.load(f)
-        age_s = time.time() - float(rec.get("ts", 0))
-        if (
-            rec.get("device") == _device_kind()
-            and rec.get("roofline", 0) > 0
-            and 0 <= age_s < 48 * 3600  # tunnel bandwidth drifts; re-measure
-        ):
-            return float(rec["roofline"])
     except Exception:
-        pass
+        return {}
+    if "device" in rec:  # legacy single-entry layout
+        return {
+            str(rec["device"]): {
+                "roofline": rec.get("roofline", 0),
+                "ts": rec.get("ts", 0),
+            }
+        }
+    return rec if isinstance(rec, dict) else {}
+
+
+def _roofline_cache_entry_ok(ent) -> bool:
+    try:
+        age_s = time.time() - float(ent.get("ts", 0))
+        return ent.get("roofline", 0) > 0 and 0 <= age_s < 48 * 3600
+    except Exception:
+        return False
+
+
+def _roofline_cache_load() -> float | None:
+    """Last successful streaming-roofline measurement on this same
+    device kind, if fresh enough (48 h — tunnel bandwidth drifts). The
+    calibration is a device property, not a workload property, so
+    reusing a prior measurement when the flaky tunnel makes a fresh one
+    impossible is honest — and far more faithful than falling back to
+    the chip's nominal peak."""
+    ent = _roofline_cache_read().get(_device_kind())
+    if ent and _roofline_cache_entry_ok(ent):
+        return float(ent["roofline"])
     return None
 
 
@@ -193,15 +211,10 @@ def _roofline_cache_store(roofline: float) -> None:
     try:
         path = _roofline_cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        cache = _roofline_cache_read()
+        cache[_device_kind()] = {"roofline": roofline, "ts": time.time()}
         with open(path, "w") as f:
-            json.dump(
-                {
-                    "device": _device_kind(),
-                    "roofline": roofline,
-                    "ts": time.time(),
-                },
-                f,
-            )
+            json.dump(cache, f)
     except Exception:
         pass
 
@@ -263,19 +276,11 @@ def _roofline_subprocess(n_steps: int, reps: int, chain: int, budget_s: int):
         roofline = None
     if roofline:
         return roofline
-    try:
-        with open(_roofline_cache_path()) as f:
-            rec = json.load(f)
-        if (
-            str(rec.get("device", "")).startswith("tpu")
-            and rec.get("roofline", 0) > 0
-            and 0 <= time.time() - float(rec.get("ts", 0)) < 48 * 3600
-        ):
+    for device, ent in _roofline_cache_read().items():
+        if device.startswith("tpu") and _roofline_cache_entry_ok(ent):
             print("# roofline from cache (fresh calibration unavailable)",
                   file=sys.stderr)
-            return float(rec["roofline"])
-    except Exception:
-        pass
+            return float(ent["roofline"])
     return None
 
 
@@ -303,7 +308,7 @@ def measure_depth(
     )
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_cross,
-        seg_depth_with_uniq_ell,
+        seg_depth_with_uniq_ell_permuted,
     )
 
     p_pad = -(-(dg.num_paths + 1) // 128) * 128
@@ -314,7 +319,9 @@ def measure_depth(
         def body(i, carry):
             mask, acc = carry
             if impl == "ell":
-                depth, uniq = seg_depth_with_uniq_ell(
+                # Permuted output order: fine for the chained timing
+                # (the dependency only needs *some* output elements).
+                depth, uniq = seg_depth_with_uniq_ell_permuted(
                     dg, mask, pallas=on_tpu
                 )
             elif impl == "cross":
@@ -400,8 +407,10 @@ def _emit_result(steps_per_s: float, bytes_per_step: float, roofline) -> None:
 def _bench_bytes_per_step(dg, impl: str, n_steps: int) -> float:
     if impl == "ell":
         return (
-            4.0 * (int(dg.cross_ell.size) + int(dg.ell_res.size)) / n_steps
-        )
+            4.0 * int(dg.cross_ell.size)
+            + int(dg.ell_heavy.size)
+            + 4.0 * int(dg.ell_heavy_res.size)
+        ) / n_steps
     if impl == "cross":
         return float(int(dg.cross_matrix.size)) / n_steps
     if impl == "scan":

@@ -84,10 +84,17 @@ from .flatgfa import GraphArrays
         "cross_res",
         "cross_res_seg",
         "cross_ell",
-        "ell_res",
-        "ell_res_seg",
+        "ell_order",
+        "ell_heavy",
+        "ell_heavy_res",
+        "ell_heavy_res_col",
     ],
-    meta_fields=["num_segments", "num_paths", "cross_nibble"],
+    meta_fields=[
+        "num_segments",
+        "num_paths",
+        "cross_nibble",
+        "ell_num_light",
+    ],
 )
 @dataclasses.dataclass
 class DeviceGraph:
@@ -131,18 +138,27 @@ class DeviceGraph:
     cross_res: jax.Array  # int32[P_pad, K_pad] or (0, 0)
     cross_res_seg: jax.Array  # int32[K_pad]
 
-    # ELL-packed run index (kernels/ellscan.py): K slots per segment
-    # column, each ``path << 16 | count``; empty when runs overflow the
-    # int16 packing or the budget. Its sidecar holds the FULL counts of
-    # segments whose runs did not fit K slots (their ELL columns are
-    # empty), fixing both depth and uniq.
-    cross_ell: jax.Array  # int32[K, N_pad] or (0, 0)
-    ell_res: jax.Array  # int32[P_pad, K2_pad] or (0, 0)
-    ell_res_seg: jax.Array  # int32[K2_pad]
+    # ELL-packed run index, split layout (kernels/ellscan.py): *light*
+    # segments (runs fit K slots, counts fit 16 bits) pack K slots per
+    # column, each ``path << 16 | count``; *heavy* segments move whole
+    # to a nibble-packed sub-crossing-matrix over just their columns
+    # (counts clipped at 15 with an int32 clip residual — the crossmat
+    # sidecar scheme recursively applied). Query outputs come back in
+    # the permuted order ``ell_order = [light segs, heavy segs]`` —
+    # pure concatenation, no scatter and no gather; ``ell_order`` is
+    # empty when there are no heavy segments (identity) or no ELL.
+    cross_ell: jax.Array  # int32[K, NL_pad] or (0, 0)
+    ell_order: jax.Array  # int32[N] or (0,)
+    ell_heavy: jax.Array  # uint8[P_pad/2, NH_pad] or (0, 0)
+    ell_heavy_res: jax.Array  # int32[P_pad, K3_pad] or (0, 0)
+    ell_heavy_res_col: jax.Array  # int32[K3_pad] cols within heavy block
 
     num_segments: int
     num_paths: int
     cross_nibble: bool = False
+    # Number of light (non-heavy) segments in the split ELL layout;
+    # equals num_segments when there are no heavy segments.
+    ell_num_light: int = 0
 
     @property
     def num_steps(self) -> int:
@@ -303,37 +319,97 @@ def build_device_graph(
         cross_res = np.zeros((0, 0), np.int32)
         cross_res_seg = np.zeros(0, np.int32)
 
-    # ELL-packed run index: the sparse complement of the dense crossing
-    # matrix (kernels/ellscan.py). Built alongside it when paths fit the
-    # int16 packing and the slots fit the budget; query-time cost model
-    # (ops/depth.py) picks whichever index streams fewer bytes.
+    # ELL-packed run index, split layout: the sparse complement of the
+    # dense crossing matrix (kernels/ellscan.py). Light segments (runs
+    # fit K slots) pack into ELL columns; heavy segments move whole to
+    # a nibble sub-matrix over their own columns. Outputs concatenate
+    # in ``ell_order`` — no scatter, no gather. Built when paths fit
+    # the int16 packing and the arrays fit the budget; the query-time
+    # cost model (ops/depth.py) picks the cheapest resident index.
     ell = np.zeros((0, 0), np.int32)
-    ell_res = np.zeros((0, 0), np.int32)
-    ell_res_seg = np.zeros(0, np.int32)
+    ell_order = np.zeros(0, np.int32)
+    ell_heavy = np.zeros((0, 0), np.uint8)
+    ell_heavy_res = np.zeros((0, 0), np.int32)
+    ell_heavy_res_col = np.zeros(0, np.int32)
+    ell_nl = n  # light-segment count (all light when no heavy split)
     if (
         s > 0
         and 0 < p < (1 << 16)
         and n > 0
         and cross_matrix != "never"
     ):
-        from .kernels.ellscan import build_ell
+        from .kernels.ellscan import COUNT_MAX, pack_ell, plan_ell
 
-        ell_c, heavy = build_ell(run_path, run_count, run_seg, n)
-        k2_pad = -(-heavy.size // LANES) * LANES if heavy.size else 0
-        ell_bytes = ell_c.size * 4 + p_pad_m * k2_pad * 4
+        runs_per_seg = np.bincount(run_seg, minlength=n)
+        big_seg = np.zeros(n, bool)
+        big_seg[run_seg[run_count > COUNT_MAX]] = True
+        k_ell, heavy_b = plan_ell(runs_per_seg, big_seg, p_pad_m)
+        light_ids = np.flatnonzero(~heavy_b).astype(np.int32)
+        heavy_ids = np.flatnonzero(heavy_b).astype(np.int32)
+        nl, nh = light_ids.size, heavy_ids.size
+        nl_pad = -(-max(nl, 1) // LANES) * LANES
+        nh_pad = -(-nh // LANES) * LANES if nh else 0
+        k3 = 0  # clip-residual columns, counted below
+        hv = heavy_b[run_seg]
+        over_h = hv & (run_count > CLIP_NIBBLE)
+        over_cols = np.unique(run_seg[over_h])
+        k3 = -(-over_cols.size // LANES) * LANES if over_cols.size else 0
+        ell_bytes = (
+            4 * k_ell * nl_pad
+            + (p_pad_m // 2) * nh_pad
+            + 4 * p_pad_m * k3
+        )
         # Charge the ELL index against the budget *remaining* after the
         # dense matrix: both indexes stay resident, so their combined
         # footprint must fit POLLEN_CROSS_BUDGET_MB.
         spent = cross.nbytes + cross_res.nbytes if build_cross else 0
-        if cross_matrix == "always" or ell_bytes <= budget - spent:
-            ell = ell_c
-            ell_res = np.zeros((p_pad_m, k2_pad), np.int32)
-            ell_res_seg = np.full(k2_pad, RES_SENTINEL, np.int32)
-            if heavy.size:
-                hv = np.isin(run_seg, heavy)
-                col = np.searchsorted(heavy, run_seg[hv])
-                ell_res[run_path[hv], col] = run_count[hv]
-                ell_res_seg[: heavy.size] = heavy
+        if nl and (cross_matrix == "always" or ell_bytes <= budget - spent):
+            # Light columns: runs grouped by segment; slot = index in
+            # group (all < K by construction of the split).
+            seg_starts = np.concatenate(([0], np.cumsum(runs_per_seg)))
+            slot = (
+                np.arange(run_seg.size, dtype=np.int64)
+                - seg_starts[run_seg]
+            )
+            seg_to_light = np.cumsum(~heavy_b) - 1  # local col per seg
+            lv = ~hv
+            ell = pack_ell(
+                run_path[lv],
+                run_count[lv],
+                seg_to_light[run_seg[lv]],
+                slot[lv],
+                k_ell,
+                nl_pad,
+            )
+            if nh:
+                ell_nl = nl
+                ell_order = np.concatenate([light_ids, heavy_ids])
+                seg_to_heavy = np.cumsum(heavy_b) - 1
+                h_path = run_path[hv]
+                h_col = seg_to_heavy[run_seg[hv]]
+                h_counts = np.minimum(run_count[hv], CLIP_NIBBLE)
+                # Nibble-pack straight into the packed byte matrix
+                # (same even/odd row trick as the crossing matrix).
+                ell_heavy = np.zeros((p_pad_m // 2, nh_pad), np.uint8)
+                even = (h_path & 1) == 0
+                ell_heavy[h_path[even] >> 1, h_col[even]] = h_counts[
+                    even
+                ].astype(np.uint8)
+                odd = ~even
+                ell_heavy[h_path[odd] >> 1, h_col[odd]] |= (
+                    h_counts[odd].astype(np.uint8) << 4
+                )
+                if k3:
+                    ell_heavy_res = np.zeros((p_pad_m, k3), np.int32)
+                    ell_heavy_res_col = np.full(k3, RES_SENTINEL, np.int32)
+                    colr = np.searchsorted(over_cols, run_seg[over_h])
+                    ell_heavy_res[
+                        run_path[over_h],
+                        colr,
+                    ] = run_count[over_h] - CLIP_NIBBLE
+                    ell_heavy_res_col[: over_cols.size] = seg_to_heavy[
+                        over_cols
+                    ]
 
     # Pad the sorted and run indexes to the Pallas block size: pad
     # entries use a sentinel path id (= p, masked to 0) / zero counts,
@@ -392,11 +468,14 @@ def build_device_graph(
         cross_res=put(jnp.asarray(cross_res)),
         cross_res_seg=put(jnp.asarray(cross_res_seg)),
         cross_ell=put(jnp.asarray(ell)),
-        ell_res=put(jnp.asarray(ell_res)),
-        ell_res_seg=put(jnp.asarray(ell_res_seg)),
+        ell_order=put(jnp.asarray(ell_order)),
+        ell_heavy=put(jnp.asarray(ell_heavy)),
+        ell_heavy_res=put(jnp.asarray(ell_heavy_res)),
+        ell_heavy_res_col=put(jnp.asarray(ell_heavy_res_col)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,
+        ell_num_light=ell_nl,
     )
 
 

@@ -45,21 +45,49 @@ COUNT_BITS = 16
 COUNT_MAX = (1 << COUNT_BITS) - 1
 
 
-def pick_ell_k(
-    runs_per_seg: np.ndarray, num_paths: int, n_pad: int
-) -> int:
-    """K in {1, 2, 4, 8, 16} minimizing total streamed bytes: 4 B per
-    slot over all columns, plus the dense int32 sidecar rows of every
-    segment whose runs overflow K slots."""
-    p_pad = -(-max(num_paths, 1) // LANES) * LANES
-    best_k, best_cost = 1, None
+def plan_ell(
+    runs_per_seg: np.ndarray,
+    big_seg: np.ndarray,
+    p_pad: int,
+) -> Tuple[int, np.ndarray]:
+    """Pick K in {1, 2, 4, 8, 16} and the heavy-segment split.
+
+    A segment is *heavy* for a given K when its runs overflow K slots
+    (or any count overflows the 16-bit packing — ``big_seg``). Heavy
+    segments move whole to the nibble-packed sub-matrix sidecar, so the
+    streamed cost is ``4 K`` bytes per light column plus ``p_pad / 2``
+    bytes per heavy column; minimize over K. Returns ``(k, heavy)``
+    with ``heavy`` a bool mask over segments."""
+    best = None
     for k in (1, 2, 4, 8, 16):
-        heavy = int((runs_per_seg > k).sum())
-        heavy_pad = -(-heavy // LANES) * LANES if heavy else 0
-        cost = 4 * k * n_pad + 4 * p_pad * heavy_pad
-        if best_cost is None or cost < best_cost:
-            best_k, best_cost = k, cost
-    return best_k
+        heavy = (runs_per_seg > k) | big_seg
+        nh = int(heavy.sum())
+        nl = runs_per_seg.shape[0] - nh
+        nl_pad = -(-max(nl, 1) // LANES) * LANES
+        nh_pad = -(-nh // LANES) * LANES if nh else 0
+        cost = 4 * k * nl_pad + (p_pad // 2) * nh_pad
+        if best is None or cost < best[0]:
+            best = (cost, k, heavy)
+    return best[1], best[2]
+
+
+def pack_ell(
+    run_path: np.ndarray,
+    run_count: np.ndarray,
+    run_col: np.ndarray,
+    slot: np.ndarray,
+    k: int,
+    n_cols_pad: int,
+) -> np.ndarray:
+    """Pack runs into int32[K, n_cols_pad] ELL slots
+    (``path << 16 | count``; empty slots 0). ``run_col`` is each run's
+    column, ``slot`` its slot index (must be < K, counts <= COUNT_MAX —
+    the caller routed overflowing segments to the heavy sidecar)."""
+    ell = np.zeros((k, n_cols_pad), np.int32)
+    ell[slot, run_col] = (
+        run_path.astype(np.int32) << COUNT_BITS
+    ) | run_count.astype(np.int32)
+    return ell
 
 
 def build_ell(
@@ -69,35 +97,34 @@ def build_ell(
     num_segments: int,
     k: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack the run-level index into ELL slots.
+    """Pack the run-level index into ELL slots over ALL segments
+    (heavy columns left empty) — the pre-split layout, kept for direct
+    kernel tests and small graphs.
 
     Returns ``(ell, heavy_segs)``: ``ell`` is int32[K, N_pad] with
     ``path << 16 | count`` per slot, zero-padded; ``heavy_segs`` lists
-    segments whose runs did NOT fit (too many runs or count overflow) —
-    their columns are left empty and the caller routes their full
-    counts to the dense sidecar. Runs must arrive segment-grouped (the
-    (segment, path) sort order of device.py ingest).
+    segments whose runs did NOT fit (too many runs or count overflow).
+    Runs must arrive segment-grouped (the (segment, path) sort order of
+    device.py ingest).
     """
     n_pad = -(-max(num_segments, 1) // LANES) * LANES
     runs_per_seg = np.bincount(run_seg, minlength=num_segments)
+    big_seg = np.zeros(num_segments, bool)
+    big_seg[run_seg[run_count > COUNT_MAX]] = True
     if k is None:
-        k = pick_ell_k(runs_per_seg, int(run_path.max(initial=0)) + 1, n_pad)
+        p = int(run_path.max(initial=0)) + 1
+        p_pad = -(-max(p, 1) // LANES) * LANES
+        k, heavy_b = plan_ell(runs_per_seg, big_seg, p_pad)
+    else:
+        heavy_b = (runs_per_seg > k) | big_seg
+    heavy = np.flatnonzero(heavy_b).astype(np.int32)
     # Slot index of each run within its segment (runs are grouped).
     seg_starts = np.concatenate(([0], np.cumsum(runs_per_seg)))
     slot = np.arange(run_seg.size, dtype=np.int64) - seg_starts[run_seg]
-
-    heavy = np.flatnonzero(runs_per_seg > k).astype(np.int32)
-    big = np.unique(run_seg[run_count > COUNT_MAX]).astype(np.int32)
-    if big.size:
-        heavy = np.union1d(heavy, big).astype(np.int32)
-    ok = np.ones(num_segments, dtype=bool)
-    ok[heavy] = False
-    keep = ok[run_seg] & (slot < k)
-
-    ell = np.zeros((k, n_pad), np.int32)
-    ell[slot[keep], run_seg[keep]] = (
-        run_path[keep].astype(np.int32) << COUNT_BITS
-    ) | run_count[keep].astype(np.int32)
+    keep = ~heavy_b[run_seg]
+    ell = pack_ell(
+        run_path[keep], run_count[keep], run_seg[keep], slot[keep], k, n_pad
+    )
     return ell, heavy
 
 

@@ -157,35 +157,62 @@ def seg_depth_with_uniq_cross(
 
 
 @functools.partial(jax.jit, static_argnames=("pallas",))
-def seg_depth_with_uniq_ell(
+def seg_depth_with_uniq_ell_permuted(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
-    """Masked (depth, uniq) via the ELL-packed run index: a short int32
-    reduction over K slots per segment with bitwise mask-word selection
-    — no gathers, no boundary stage, ~4 B of HBM per run
-    (kernels/ellscan.py). The sidecar restores segments whose runs
-    overflowed the K slots (their full counts live there, so both depth
-    and uniq get fixed)."""
+    """Masked (depth, uniq) via the split ELL run index, in the index's
+    own ``ell_order`` (light segments first, then heavy).
+
+    Light columns: a short int32 reduction over K slots per segment
+    with bitwise mask-word selection — no gathers, no boundary stage,
+    ~4 B of HBM per run (kernels/ellscan.py). Heavy columns: one MXU
+    pass over their nibble-packed sub-matrix (kernels/crossmat.py) plus
+    the tiny int32 clip residual. The two results *concatenate* — the
+    permuted layout replaces the scatter/gather placement entirely.
+    When the graph has no heavy segments the order is the identity."""
+    from ..kernels.crossmat import masked_cross_depth, masked_cross_depth_xla
     from ..kernels.ellscan import masked_ell_depth, masked_ell_depth_xla
 
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
     fn = masked_ell_depth if pallas else masked_ell_depth_xla
     depth, uniq = fn(dg.cross_ell, m)
-    if dg.ell_res_seg.size:
-        mm = (
-            jnp.zeros(dg.ell_res.shape[0], jnp.int32)
-            .at[: dg.num_paths]
-            .set(m)
+    if not dg.ell_heavy.size:
+        return depth[: dg.num_segments], uniq[: dg.num_segments]
+    nl = dg.ell_num_light
+    nh = dg.num_segments - nl
+    p_pad = dg.ell_heavy.shape[0] * 2
+    mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
+    cfn = masked_cross_depth if pallas else masked_cross_depth_xla
+    dh, uh = cfn(dg.ell_heavy, mp, nibble=True)
+    if dg.ell_heavy_res_col.size:
+        fix = jnp.sum(
+            dg.ell_heavy_res * mp[:, None], axis=0, dtype=jnp.int32
         )
-        fix_d = jnp.sum(dg.ell_res * mm[:, None], axis=0, dtype=jnp.int32)
-        fix_u = jnp.sum(
-            jnp.minimum(dg.ell_res, 1) * mm[:, None],
-            axis=0,
-            dtype=jnp.int32,
-        )
-        depth = depth.at[dg.ell_res_seg].add(fix_d, mode="drop")
-        uniq = uniq.at[dg.ell_res_seg].add(fix_u, mode="drop")
-    return depth[: dg.num_segments], uniq[: dg.num_segments]
+        dh = dh.at[dg.ell_heavy_res_col].add(fix, mode="drop")
+    return (
+        jnp.concatenate([depth[:nl], dh[:nh]]),
+        jnp.concatenate([uniq[:nl], uh[:nh]]),
+    )
+
+
+def seg_depth_with_uniq_ell(
+    dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) via the split ELL index, in natural segment
+    order. Host-side un-permutation (a numpy take over the ingest-known
+    ``ell_order``): production serving either consumes the permuted
+    device vectors directly or renders host-side anyway, so the device
+    never pays a gather."""
+    d, u = seg_depth_with_uniq_ell_permuted(dg, path_mask, pallas=pallas)
+    if not dg.ell_order.shape[0]:
+        return d, u
+    order = np.asarray(jax.device_get(dg.ell_order))
+    n = dg.num_segments
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    d_nat = np.asarray(jax.device_get(d))[:n][inv]
+    u_nat = np.asarray(jax.device_get(u))[:n][inv]
+    return jnp.asarray(d_nat), jnp.asarray(u_nat)
 
 
 # Equivalent streamed bytes per segment for the scan family's boundary
@@ -207,15 +234,18 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:
-        # int32 slots: 4 DMA bytes each, plus per-slot VPU work — ~8
-        # fixed int ops plus the mask-word select tournament, which
-        # scales with the word count (n_words - 1 compare+selects per
-        # slot; kernels/ellscan.py) — weighted at ~2 equivalent
-        # streamed bytes per full-width op at v5e's VPU:HBM ratio.
+        # int32 slots: 4 DMA bytes each plus the per-slot VPU work
+        # (fixed unpack/extract ops + the mask-word select tournament,
+        # which scales with the word count). Calibrated against the
+        # measured TPU probe: 25.6 us/query at 2^20 slots with
+        # n_words = 4 == ~16 equivalent streamed bytes per slot
+        # (probes/RESULTS.txt, ellk stage).
         n_words = -(-max(dg.num_paths, 1) // 32)
-        per_slot = 4 + 2 * (8 + 2 * max(n_words - 1, 1))
+        per_slot = 4 + 3 * n_words
         costs["ell"] = (
-            per_slot * dg.cross_ell.size + 8 * dg.ell_res.size
+            per_slot * dg.cross_ell.size
+            + 2 * dg.ell_heavy.size  # nibble sub-matrix: DMA + unpack
+            + 8 * dg.ell_heavy_res.size
         )
     return costs
 

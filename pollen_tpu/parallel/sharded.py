@@ -401,84 +401,144 @@ def sharded_cross_depth_fn(mesh: Mesh, nibble: bool = False):
 
 
 class ShardedEll(NamedTuple):
-    """ELL run index laid out over a mesh: slot columns (segments)
-    sharded across every device, heavy-segment sidecar replicated."""
+    """Split ELL run index laid out over a mesh: light slot columns
+    AND heavy nibble columns each sharded across every device; the
+    tiny clip residual replicated. Query outputs come back as two
+    segment-sharded vectors in the index's permuted order
+    (``dg.ell_order`` = light segments then heavy segments)."""
 
-    ell: jax.Array  # int32[K, col_width * n_dev], column-sharded
-    res: jax.Array  # int32[P_pad, K2_pad], replicated
-    res_seg: jax.Array  # int32[K2_pad], replicated (sentinel-padded)
-    col_width: int  # segment columns per device
+    ell: jax.Array  # int32[K, light_width * n_dev], column-sharded
+    heavy: jax.Array | None  # uint8[P_pad/2, heavy_width * n_dev] or None
+    heavy_res: jax.Array  # int32[P_pad, K3_pad], replicated
+    heavy_res_col: jax.Array  # int32[K3_pad], replicated (sentinel-padded)
+    light_width: int  # light columns per device
+    heavy_width: int  # heavy columns per device
     num_paths: int
+    nibble_rows: int  # ell_heavy row count (P_pad / 2)
 
 
-def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
-    """Lay the ELL run index out over the mesh (see ShardedEll);
-    returns None when the graph has no ELL index."""
-    if dg.cross_ell.size == 0:
-        return None
-    e = np.asarray(dg.cross_ell)
-    n_dev = mesh.size
-    k, n_pad = e.shape
+def _pad_cols(a: np.ndarray, n_dev: int) -> Tuple[np.ndarray, int]:
+    """Pad a 2-D array's columns so every device gets an equal,
+    128-aligned slice; returns (padded, width-per-device)."""
+    rows, n_pad = a.shape
     width = -(-n_pad // (n_dev * 128)) * 128
     total = width * n_dev
     if total > n_pad:
-        e = np.concatenate(
-            [e, np.zeros((k, total - n_pad), e.dtype)], axis=1
+        a = np.concatenate(
+            [a, np.zeros((rows, total - n_pad), a.dtype)], axis=1
         )
+    return a, width
+
+
+def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
+    """Lay the split ELL run index out over the mesh (see ShardedEll);
+    returns None when the graph has no ELL index."""
+    if dg.cross_ell.size == 0:
+        return None
+    n_dev = mesh.size
+    e, lw = _pad_cols(np.asarray(dg.cross_ell), n_dev)
     col_shard = NamedSharding(mesh, P(None, STEP_AXES))
     repl = NamedSharding(mesh, P())
+    heavy = None
+    hw = 0
+    rows = 0
+    if dg.ell_heavy.size:
+        h, hw = _pad_cols(np.asarray(dg.ell_heavy), n_dev)
+        heavy = jax.device_put(jnp.asarray(h), col_shard)
+        rows = h.shape[0]
     return ShardedEll(
         ell=jax.device_put(jnp.asarray(e), col_shard),
-        res=jax.device_put(dg.ell_res, repl),
-        res_seg=jax.device_put(dg.ell_res_seg, repl),
-        col_width=width,
+        heavy=heavy,
+        heavy_res=jax.device_put(dg.ell_heavy_res, repl),
+        heavy_res_col=jax.device_put(dg.ell_heavy_res_col, repl),
+        light_width=lw,
+        heavy_width=hw,
         num_paths=dg.num_paths,
+        nibble_rows=rows,
     )
 
 
-def sharded_ell_depth_fn(mesh: Mesh):
-    """Mesh-wide masked (depth, uniq) over the sharded ELL run index —
+def sharded_ell_depth_fn(mesh: Mesh, has_heavy: bool = False):
+    """Mesh-wide masked (depth, uniq) over the split ELL run index —
     the same zero-collective tensor parallelism as the sharded crossing
-    matrix: every device reduces its own slot columns, the replicated
-    sidecar is range-filtered locally, outputs stay segment-sharded."""
+    matrix: every device reduces its own light slot columns and (when
+    present) its own heavy nibble columns; the replicated clip residual
+    is range-filtered locally; outputs stay segment-sharded in the
+    index's permuted order: (depth_light, uniq_light) or
+    (depth_light, uniq_light, depth_heavy, uniq_heavy)."""
+    from ..kernels.crossmat import fold_mask, unpack_cross
     from ..kernels.ellscan import COUNT_BITS, COUNT_MAX
 
+    def _light(e, mask):
+        pid = (e >> COUNT_BITS) & 0xFFFF  # zero-extend the path id
+        cnt = e & COUNT_MAX
+        m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
+            mask.astype(jnp.int32)
+        )
+        bit = m[pid]
+        depth = jnp.sum(bit * cnt, axis=0)
+        uniq = jnp.sum(bit * (e != 0).astype(jnp.int32), axis=0)
+        return depth, uniq
+
+    if not has_heavy:
+
+        @jax.jit
+        def query(ell, mask):
+            def worker(e, mask):
+                return _light(e, mask)
+
+            return jax.shard_map(
+                worker,
+                mesh=mesh,
+                in_specs=(P(None, STEP_AXES), P()),
+                out_specs=(P(STEP_AXES), P(STEP_AXES)),
+            )(ell, mask)
+
+        return query
+
     @jax.jit
-    def query(ell, res, res_seg, mask):
-        def worker(e, res, res_seg, mask):
+    def query(ell, heavy, res, res_col, mask):
+        def worker(e, h, res, res_col, mask):
             idx = jax.lax.axis_index(STEP_AXES)
-            width = e.shape[1]
-            pid = (e >> COUNT_BITS) & 0xFFFF  # zero-extend the path id
-            cnt = e & COUNT_MAX
-            m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
+            depth_l, uniq_l = _light(e, mask)
+            # Heavy nibble columns: bf16 dots, exact (counts <= 15).
+            p_pad = h.shape[0] * 2
+            mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
                 mask.astype(jnp.int32)
             )
-            bit = m[pid]
-            depth = jnp.sum(bit * cnt, axis=0)
-            uniq = jnp.sum(bit * (e != 0).astype(jnp.int32), axis=0)
-            if res_seg.shape[0]:
-                mm = (
-                    jnp.zeros(res.shape[0], jnp.int32)
-                    .at[: mask.shape[0]]
-                    .set(mask.astype(jnp.int32))
-                )
-                fix_d = jnp.sum(res * mm[:, None], axis=0, dtype=jnp.int32)
-                fix_u = jnp.sum(
-                    jnp.minimum(res, 1) * mm[:, None],
-                    axis=0,
-                    dtype=jnp.int32,
-                )
-                local = res_seg - idx * width
-                depth = depth.at[local].add(fix_d, mode="drop")
-                uniq = uniq.at[local].add(fix_u, mode="drop")
-            return depth, uniq
+            af = unpack_cross(h).astype(jnp.bfloat16)
+            mf = fold_mask(mp).astype(jnp.bfloat16)
+            depth_h = jnp.dot(
+                mf, af, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            uniq_h = jnp.dot(
+                mf,
+                jnp.minimum(af, jnp.bfloat16(1)),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            if res_col.shape[0]:
+                fix = jnp.sum(res * mp[:, None], axis=0, dtype=jnp.int32)
+                local = res_col - idx * h.shape[1]
+                depth_h = depth_h.at[local].add(fix, mode="drop")
+            return depth_l, uniq_l, depth_h, uniq_h
 
         return jax.shard_map(
             worker,
             mesh=mesh,
-            in_specs=(P(None, STEP_AXES), P(), P(), P()),
-            out_specs=(P(STEP_AXES), P(STEP_AXES)),
-        )(ell, res, res_seg, mask)
+            in_specs=(
+                P(None, STEP_AXES),
+                P(None, STEP_AXES),
+                P(),
+                P(),
+                P(),
+            ),
+            out_specs=(
+                P(STEP_AXES),
+                P(STEP_AXES),
+                P(STEP_AXES),
+                P(STEP_AXES),
+            ),
+        )(ell, heavy, res, res_col, mask)
 
     return query
 

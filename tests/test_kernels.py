@@ -163,17 +163,22 @@ def test_cross_matrix_overflow_fixup():
 
 
 def test_ell_matches_xla(graph_path):
-    """ELL-packed run depth (XLA fallback + Pallas interpret) vs the
-    masked-scan pipeline."""
+    """Split ELL run depth (XLA fallback + Pallas interpret + permuted
+    layout) vs the masked-scan pipeline."""
     from pollen_tpu.kernels.ellscan import (
         masked_ell_depth,
+        masked_ell_depth_xla,
         pack_mask_words,
     )
-    from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
+    from pollen_tpu.ops.depth import (
+        seg_depth_with_uniq_ell,
+        seg_depth_with_uniq_ell_permuted,
+    )
 
     g = parse_gfa_file(str(graph_path))
     dg = build_device_graph(g, cross_matrix="always")
     assert dg.cross_ell.size
+    n = dg.num_segments
     rng = np.random.default_rng(23)
     for _ in range(2):
         mask = rng.integers(0, 2, dg.num_paths).astype(bool)
@@ -182,33 +187,25 @@ def test_ell_matches_xla(graph_path):
         np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_x))
         np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_x))
 
-        d_p, u_p = masked_ell_depth(
-            dg.cross_ell,
-            jnp.asarray(mask.astype(np.int32)),
-            interpret=True,
-        )
-        if dg.ell_res_seg.size:
-            mm = (
-                jnp.zeros(dg.ell_res.shape[0], jnp.int32)
-                .at[: dg.num_paths]
-                .set(jnp.asarray(mask.astype(np.int32)))
-            )
-            d_p = d_p.at[dg.ell_res_seg].add(
-                jnp.sum(dg.ell_res * mm[:, None], axis=0).astype(jnp.int32),
-                mode="drop",
-            )
-            u_p = u_p.at[dg.ell_res_seg].add(
-                jnp.sum(
-                    jnp.minimum(dg.ell_res, 1) * mm[:, None], axis=0
-                ).astype(jnp.int32),
-                mode="drop",
-            )
-        np.testing.assert_array_equal(
-            np.asarray(d_p)[: dg.num_segments], np.asarray(d_x)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(u_p)[: dg.num_segments], np.asarray(u_x)
-        )
+        # The permuted pair + ell_order reconstructs natural order.
+        d_p, u_p = seg_depth_with_uniq_ell_permuted(dg, jnp.asarray(mask))
+        if dg.ell_order.shape[0]:
+            order = np.asarray(dg.ell_order)
+            d_nat = np.empty(n, np.int64)
+            u_nat = np.empty(n, np.int64)
+            d_nat[order] = np.asarray(d_p)[:n]
+            u_nat[order] = np.asarray(u_p)[:n]
+        else:
+            d_nat, u_nat = np.asarray(d_p)[:n], np.asarray(u_p)[:n]
+        np.testing.assert_array_equal(d_nat, np.asarray(d_x))
+        np.testing.assert_array_equal(u_nat, np.asarray(u_x))
+
+        # Pallas interpret kernel == XLA fallback on the light columns.
+        m32 = jnp.asarray(mask.astype(np.int32))
+        d_k, u_k = masked_ell_depth(dg.cross_ell, m32, interpret=True)
+        d_k2, u_k2 = masked_ell_depth_xla(dg.cross_ell, m32)
+        np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_k2))
+        np.testing.assert_array_equal(np.asarray(u_k), np.asarray(u_k2))
     # Mask-word packing round trip.
     words = np.asarray(pack_mask_words(jnp.asarray(mask.astype(np.int32)), -(-dg.num_paths // 32)))
     bits = [(int(words[p // 32]) >> (p % 32)) & 1 for p in range(dg.num_paths)]
@@ -216,29 +213,35 @@ def test_ell_matches_xla(graph_path):
 
 
 def test_ell_heavy_segments_sidecar():
-    """Segments with more runs than K slots route whole to the ELL
-    sidecar; depth AND uniq both get fixed."""
-    from pollen_tpu.kernels.crossmat import RES_SENTINEL
+    """Segments with more runs than K slots split into the heavy
+    nibble sub-matrix (with clip residual); depth AND uniq exact."""
     from pollen_tpu.kernels.ellscan import build_ell
     from pollen_tpu.ops.depth import seg_depth_with_uniq_ell
 
-    # Segment 1 crossed by 40 paths (40 runs); K picks small because
-    # most segments have 1 run.
+    # Segment 1 crossed by 40 paths (40 runs — heavy for small K), and
+    # path p0 crosses segment 1 twenty times (count 21 > 15: exercises
+    # the heavy nibble clip residual too).
     lines = ["S\t1\tAA"] + [f"S\t{i}\tC" for i in range(2, 40)]
-    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(40)]
+    lines += [
+        "P\tp0\t" + ",".join(["1+"] * 20) + ",2+\t*"
+    ]
+    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(1, 40)]
     text = ("\n".join(lines) + "\n").encode()
     from pollen_tpu.flatgfa import parse_gfa
 
     g = parse_gfa(text)
     dg = build_device_graph(g, cross_matrix="always")
     assert dg.cross_ell.size
-    # Heavy segment present in the sidecar.
-    assert int(
-        (np.asarray(dg.ell_res_seg) < RES_SENTINEL).sum()
-    ) >= 1
+    # Heavy split present: permutation covers all segments, the heavy
+    # nibble matrix exists, and the clip residual caught count 21.
+    assert dg.ell_heavy.size
+    assert dg.ell_order.shape[0] == dg.num_segments
+    assert dg.ell_num_light < dg.num_segments
+    assert dg.ell_heavy_res_col.size
     rng = np.random.default_rng(7)
     for _ in range(3):
         mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        mask[0] = True  # keep the clip-residual path in play
         d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
         d_e, u_e = seg_depth_with_uniq_ell(dg, jnp.asarray(mask))
         np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_x))

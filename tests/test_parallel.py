@@ -133,55 +133,73 @@ def test_sharded_cross_depth_matches_single(graph_path, mesh):
         np.testing.assert_array_equal(np.asarray(u_c)[:n], np.asarray(u_1))
 
 
-def test_sharded_ell_depth_matches_single(graph_path, mesh):
-    """Tensor-parallel ELL run index (zero-collective) vs the
-    single-device masked pipeline, including the heavy sidecar."""
-    from pollen_tpu.parallel.sharded import (
-        shard_ell_inputs,
-        sharded_ell_depth_fn,
+def _sharded_ell_natural(dg, se, mesh, bools):
+    """Run the sharded split-ELL query and reassemble natural order."""
+    from pollen_tpu.parallel.sharded import sharded_ell_depth_fn
+
+    m = jnp.asarray(bools.astype(np.int32))
+    n = dg.num_segments
+    nl = dg.ell_num_light
+    if se.heavy is None:
+        d_l, u_l = sharded_ell_depth_fn(mesh, has_heavy=False)(se.ell, m)
+        return np.asarray(d_l)[:n], np.asarray(u_l)[:n]
+    d_l, u_l, d_h, u_h = sharded_ell_depth_fn(mesh, has_heavy=True)(
+        se.ell, se.heavy, se.heavy_res, se.heavy_res_col, m
     )
+    order = np.asarray(dg.ell_order)
+    d_nat = np.empty(n, np.int64)
+    u_nat = np.empty(n, np.int64)
+    d_nat[order] = np.concatenate(
+        [np.asarray(d_l)[:nl], np.asarray(d_h)[: n - nl]]
+    )
+    u_nat[order] = np.concatenate(
+        [np.asarray(u_l)[:nl], np.asarray(u_h)[: n - nl]]
+    )
+    return d_nat, u_nat
+
+
+def test_sharded_ell_depth_matches_single(graph_path, mesh):
+    """Tensor-parallel split ELL run index (zero-collective) vs the
+    single-device masked pipeline."""
+    from pollen_tpu.parallel.sharded import shard_ell_inputs
 
     g = parse_gfa_file(str(graph_path))
     dg = build_device_graph(g, cross_matrix="always")
     se = shard_ell_inputs(dg, mesh)
     assert se is not None
-    query = sharded_ell_depth_fn(mesh)
 
     rng = np.random.default_rng(29)
-    n = dg.num_segments
     for _ in range(2):
         bools = rng.integers(0, 2, dg.num_paths).astype(bool)
-        m = jnp.asarray(bools.astype(np.int32))
-        d_e, u_e = query(se.ell, se.res, se.res_seg, m)
+        d_e, u_e = _sharded_ell_natural(dg, se, mesh, bools)
         d_1, u_1 = depth_op.seg_depth_with_uniq_masked(dg, jnp.asarray(bools))
-        np.testing.assert_array_equal(np.asarray(d_e)[:n], np.asarray(d_1))
-        np.testing.assert_array_equal(np.asarray(u_e)[:n], np.asarray(u_1))
+        np.testing.assert_array_equal(d_e, np.asarray(d_1))
+        np.testing.assert_array_equal(u_e, np.asarray(u_1))
 
 
 def test_sharded_ell_heavy_sidecar(mesh):
-    """Heavy segments' full counts land on the right device shard and
-    fix both depth and uniq."""
+    """Heavy segments' nibble columns (and clip residual) land on the
+    right device shard and reconstruct exactly."""
     from pollen_tpu.flatgfa import parse_gfa
-    from pollen_tpu.parallel.sharded import (
-        shard_ell_inputs,
-        sharded_ell_depth_fn,
-    )
+    from pollen_tpu.parallel.sharded import shard_ell_inputs
 
-    # Segment 1 gets 40 single-crossing runs (heavy for small K).
+    # Segment 1 gets 40 single-crossing runs (heavy for small K) plus
+    # a count-21 run (clip residual).
     lines = ["S\t1\tAA"] + [f"S\t{i}\tC" for i in range(2, 40)]
-    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(40)]
+    lines += ["P\tp0\t" + ",".join(["1+"] * 20) + ",2+\t*"]
+    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(1, 40)]
     text = ("\n".join(lines) + "\n").encode()
     dg = build_device_graph(parse_gfa(text), cross_matrix="always")
     se = shard_ell_inputs(dg, mesh)
-    assert se is not None and dg.ell_res_seg.size
-    m = jnp.ones(dg.num_paths, jnp.int32)
-    d_e, u_e = sharded_ell_depth_fn(mesh)(se.ell, se.res, se.res_seg, m)
+    assert se is not None and se.heavy is not None
+    assert dg.ell_heavy_res_col.size
+    bools = np.ones(dg.num_paths, bool)
+    d_e, u_e = _sharded_ell_natural(dg, se, mesh, bools)
     d_1, u_1 = depth_op.seg_depth_with_uniq_masked(
         dg, jnp.ones(dg.num_paths, bool)
     )
-    n = dg.num_segments
-    np.testing.assert_array_equal(np.asarray(d_e)[:n], np.asarray(d_1))
-    np.testing.assert_array_equal(np.asarray(u_e)[:n], np.asarray(u_1))
+    np.testing.assert_array_equal(d_e, np.asarray(d_1))
+    np.testing.assert_array_equal(u_e, np.asarray(u_1))
 
 
 def test_sharded_cross_overflow(mesh):
