@@ -467,14 +467,12 @@ def _run_command(parser, args, g: GraphArrays, out, make_dg) -> None:
 
             out.write(run_overlap(g, dg, _read_lines(args.paths)))
         elif args.command == "gaf":
-            from .ops.gaf import parse_gaf_file, run_gaf_lookup
+            from .ops.gaf import run_gaf_lookup_stream
 
-            reads = parse_gaf_file(args.gaf_file, g)
-            out.write(
-                run_gaf_lookup(
-                    g, dg, reads, seqs=args.seqs, bench=args.bench
-                )
-            )
+            for piece in run_gaf_lookup_stream(
+                g, dg, args.gaf_file, seqs=args.seqs, bench=args.bench
+            ):
+                out.write(piece)
         elif args.command == "window-depth":
             from .ops.window_depth import run_window_depth
 

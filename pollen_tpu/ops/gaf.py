@@ -96,7 +96,10 @@ def parse_gaf(data: bytes, names: NameIndex) -> GafReads:
     p_lo, p_hi = t[4] + 1, t[5]
     p_lens = p_hi - p_lo
     text = ragged_gather(buf, p_lo, p_lens)
-    read_of_char = np.repeat(np.arange(starts.shape[0]), p_lens)
+    # int32 per-char ids: halves the biggest streaming-parse temporary.
+    read_of_char = np.repeat(
+        np.arange(starts.shape[0], dtype=np.int32), p_lens
+    )
 
     is_dir = (text == ord(">")) | (text == ord("<"))
     dir_pos = np.flatnonzero(is_dir)
@@ -129,6 +132,39 @@ def parse_gaf(data: bytes, names: NameIndex) -> GafReads:
 def parse_gaf_file(filename: str, g: GraphArrays) -> GafReads:
     with open(filename, "rb") as f:
         return parse_gaf(f.read(), g.seg_id_by_name())
+
+
+# Streaming window size: keeps memory O(window) for multi-GB read sets
+# (reference analogue: gaf.rs:73-103's mmap iterator / rayon stream).
+DEFAULT_GAF_WINDOW = 64 << 20
+
+
+def iter_gaf_windows(
+    filename: str,
+    names: NameIndex,
+    window_bytes: int = DEFAULT_GAF_WINDOW,
+):
+    """Yield :class:`GafReads` batches, one per ~window_bytes of file.
+
+    Lines never straddle windows (the tail past the last newline
+    carries into the next window), so every yielded batch is a
+    self-contained set of reads and peak memory stays O(window) no
+    matter the file size."""
+    with open(filename, "rb") as f:
+        carry = b""
+        while True:
+            block = f.read(window_bytes)
+            if not block:
+                if carry.strip():
+                    yield parse_gaf(carry, names)
+                return
+            data = carry + block
+            cut = data.rfind(b"\n")
+            if cut < 0:
+                carry = data
+                continue
+            yield parse_gaf(data[: cut + 1], names)
+            carry = data[cut + 1 :]
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +297,29 @@ def run_gaf_lookup(
     return "".join(out)
 
 
+def run_gaf_lookup_stream(
+    g: GraphArrays,
+    dg: DeviceGraph,
+    filename: str,
+    seqs: bool = False,
+    bench: bool = False,
+    window_bytes: int = DEFAULT_GAF_WINDOW,
+):
+    """Streaming GAF lookup: yields output text per byte window, so a
+    multi-GB read set processes under an O(window) memory cap (the
+    in-memory :func:`run_gaf_lookup` is the one-window special case)."""
+    names = g.seg_id_by_name()
+    total = 0
+    for reads in iter_gaf_windows(filename, names, window_bytes):
+        if bench:
+            _, kind, _, _ = chunk_events(g, dg, reads)
+            total += int(kind.shape[0])
+        else:
+            yield run_gaf_lookup(g, dg, reads, seqs=seqs)
+    if bench:
+        yield f"{total}\n"
+
+
 _COMP = bytes.maketrans(b"ACGTN", b"TGCAN")
 
 
@@ -274,13 +333,19 @@ def _revcomp(seq: bytes) -> bytes:
 
 
 def pangenotype_matrix(
-    g: GraphArrays, gaf_files: List[str]
+    g: GraphArrays,
+    gaf_files: List[str],
+    window_bytes: int = DEFAULT_GAF_WINDOW,
 ) -> np.ndarray:
-    """bool[samples, N]: does each read set touch each segment?"""
+    """bool[samples, N]: does each read set touch each segment?
+
+    Streams each GAF in windows — memory is O(window + matrix), not
+    O(read set)."""
     out = np.zeros((len(gaf_files), g.num_segments), dtype=bool)
+    names = g.seg_id_by_name()
     for i, path in enumerate(gaf_files):
-        reads = parse_gaf_file(path, g)
-        out[i, (reads.steps >> 1).astype(np.int64)] = True
+        for reads in iter_gaf_windows(path, names, window_bytes):
+            out[i, (reads.steps >> 1).astype(np.int64)] = True
     return out
 
 

@@ -140,6 +140,66 @@ def test_chunker_matches_spec_random(seed):
             assert (a[i], b[i]) == (ea, eb)
 
 
+def test_gaf_stream_matches_slurp(tmp_path):
+    """Windowed streaming produces byte-identical output to the
+    in-memory path, across window boundaries mid-file."""
+    from pollen_tpu.ops.gaf import parse_gaf_file, run_gaf_lookup_stream
+
+    g, dg = _graph()
+    lines = []
+    for i in range(50):
+        lines.append(f"r{i}\t14\t0\t14\t+\t>1>2<3\t12\t{i % 5}\t9\t9\t9\t60")
+    path = tmp_path / "reads.gaf"
+    path.write_text("\n".join(lines) + "\n")
+
+    reads = parse_gaf_file(str(path), g)
+    whole = run_gaf_lookup(g, dg, reads)
+    for window in (64, 256, 1 << 20):
+        streamed = "".join(
+            run_gaf_lookup_stream(g, dg, str(path), window_bytes=window)
+        )
+        assert streamed == whole
+        bench = "".join(
+            run_gaf_lookup_stream(
+                g, dg, str(path), bench=True, window_bytes=window
+            )
+        )
+        assert bench == run_gaf_lookup(g, dg, reads, bench=True)
+
+
+def test_gaf_stream_memory_capped(tmp_path):
+    """A GAF far larger than the window processes under a fixed memory
+    cap: peak python/numpy allocations stay O(window), not O(file)."""
+    import tracemalloc
+
+    from pollen_tpu.ops.gaf import iter_gaf_windows
+
+    g, _ = _graph()
+    line = b"readname_%08d\t14\t0\t14\t+\t>1>2>3>4\t14\t2\t9\t9\t9\t60\n"
+    path = tmp_path / "big.gaf"
+    with open(path, "wb") as f:
+        for base in range(80):
+            f.write(b"".join(line % (base * 10000 + i) for i in range(10000)))
+    size = path.stat().st_size
+    assert size > 38 << 20  # ~39 MB of reads
+
+    window = 1 << 20
+    names = g.seg_id_by_name()
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    total_reads = 0
+    for reads in iter_gaf_windows(str(path), names, window_bytes=window):
+        total_reads += reads.num_reads
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert total_reads == 800000
+    # Peak is a small multiple of the window (parse temporaries) and
+    # independent of the file size — half the file here, O(window) in
+    # general.
+    assert peak < size // 2, f"peak {peak / 2**20:.1f} MB"
+    assert peak < 20 * window, f"peak {peak / 2**20:.1f} MB"
+
+
 def test_pangenotype(tmp_path):
     g, _ = _graph()
     f1 = tmp_path / "s1.gaf"
