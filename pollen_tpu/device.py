@@ -88,12 +88,17 @@ from .flatgfa import GraphArrays
         "ell_heavy",
         "ell_heavy_res",
         "ell_heavy_res_col",
+        "bnd_row_start",
+        "bnd_loc",
+        "bnd_over_tiles",
+        "bnd_over_bounds",
     ],
     meta_fields=[
         "num_segments",
         "num_paths",
         "cross_nibble",
         "ell_num_light",
+        "bnd_w_rows",
     ],
 )
 @dataclasses.dataclass
@@ -153,12 +158,23 @@ class DeviceGraph:
     ell_heavy_res: jax.Array  # int32[P_pad, K3_pad] or (0, 0)
     ell_heavy_res_col: jax.Array  # int32[K3_pad] cols within heavy block
 
+    # Ingest-time boundary-gather plan (kernels/gatherb.py): windowed
+    # one-hot MXU gather of csum[seg_bounds] for the scan family's
+    # boundary stage — XLA's TPU gather runs ~94 M elem/s; this streams
+    # windows instead. Empty (bnd_w_rows == 0) when unplanned.
+    bnd_row_start: jax.Array  # int32[n_tiles]
+    bnd_loc: jax.Array  # int32[n_tiles, 128]
+    bnd_over_tiles: jax.Array  # int32[T']
+    bnd_over_bounds: jax.Array  # int32[T', 128]
+
     num_segments: int
     num_paths: int
     cross_nibble: bool = False
     # Number of light (non-heavy) segments in the split ELL layout;
     # equals num_segments when there are no heavy segments.
     ell_num_light: int = 0
+    # Boundary-gather window rows (static); 0 = plan absent.
+    bnd_w_rows: int = 0
 
     @property
     def num_steps(self) -> int:
@@ -429,6 +445,26 @@ def build_device_graph(
         [run_count, np.zeros(r_pad - r, np.int32)]
     )
 
+    # Boundary-gather plan for the scan family (kernels/gatherb.py):
+    # sorted, ingest-known seg_bounds against the padded cumsum length.
+    # Gated at 2^24 steps — the one-hot select matmul is exact only
+    # while csum values cast to f32 exactly.
+    from .kernels.gatherb import plan_boundary
+
+    if s_pad < (1 << 24) and n > 0:
+        bplan = plan_boundary(seg_bounds, s_pad)
+        bnd_row_start = bplan.row_start
+        bnd_loc = bplan.loc
+        bnd_over_tiles = bplan.over_tiles
+        bnd_over_bounds = bplan.over_bounds
+        bnd_w_rows = bplan.w_rows
+    else:
+        bnd_row_start = np.zeros(0, np.int32)
+        bnd_loc = np.zeros((0, 128), np.int32)
+        bnd_over_tiles = np.zeros(0, np.int32)
+        bnd_over_bounds = np.zeros((0, 128), np.int32)
+        bnd_w_rows = 0
+
     # Path step-span boundaries (step spans are contiguous in path order).
     path_bounds = np.concatenate(
         ([0], np.cumsum(g.path_steps[:, 1] - g.path_steps[:, 0]))
@@ -472,10 +508,15 @@ def build_device_graph(
         ell_heavy=put(jnp.asarray(ell_heavy)),
         ell_heavy_res=put(jnp.asarray(ell_heavy_res)),
         ell_heavy_res_col=put(jnp.asarray(ell_heavy_res_col)),
+        bnd_row_start=put(jnp.asarray(bnd_row_start)),
+        bnd_loc=put(jnp.asarray(bnd_loc)),
+        bnd_over_tiles=put(jnp.asarray(bnd_over_tiles)),
+        bnd_over_bounds=put(jnp.asarray(bnd_over_bounds)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,
         ell_num_light=ell_nl,
+        bnd_w_rows=bnd_w_rows,
     )
 
 

@@ -100,12 +100,19 @@ def seg_depth_with_uniq_runs_fused(
     return depth, uniq
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("planned_boundary",))
 def seg_depth_with_uniq_fused(
-    dg: DeviceGraph, path_mask: jax.Array
+    dg: DeviceGraph,
+    path_mask: jax.Array,
+    planned_boundary: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Masked (depth, uniq) via the fused Pallas segmented-scan kernel
-    (TPU; one pass over the step list — see kernels/segscan.py)."""
+    (TPU; one pass over the step list — see kernels/segscan.py).
+
+    ``planned_boundary=True`` runs the boundary stage through the
+    windowed one-hot MXU gather (kernels/gatherb.py) instead of XLA's
+    slow TPU gather; requires the ingest plan (``dg.bnd_w_rows > 0``).
+    """
     from ..kernels.segscan import (
         depth_uniq_from_cumsums,
         masked_depth_cumsums,
@@ -119,6 +126,24 @@ def seg_depth_with_uniq_fused(
     csw, csf = masked_depth_cumsums(
         dg.step_path_sorted, dg.run_start, mask_padded
     )
+    if planned_boundary and dg.bnd_w_rows:
+        from ..kernels.gatherb import boundary_diff_planned
+
+        args = (
+            dg.bnd_row_start,
+            dg.bnd_loc,
+            dg.bnd_over_tiles,
+            dg.bnd_over_bounds,
+        )
+        kw = dict(
+            w_rows=dg.bnd_w_rows,
+            n_bounds=dg.num_segments + 1,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return (
+            boundary_diff_planned(csw.astype(jnp.int32), *args, **kw),
+            boundary_diff_planned(csf.astype(jnp.int32), *args, **kw),
+        )
     return depth_uniq_from_cumsums(csw, csf, dg.seg_bounds)
 
 

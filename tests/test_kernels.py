@@ -260,6 +260,109 @@ def test_ell_heavy_segments_sidecar():
     assert not ell[:, :2].any()
 
 
+def test_boundary_gather_planned(graph_path):
+    """The windowed one-hot MXU boundary gather (interpret mode)
+    matches the XLA boundary stage on real graphs."""
+    from pollen_tpu.kernels.gatherb import (
+        gather_boundary,
+        plan_boundary,
+    )
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_fused
+
+    g = parse_gfa_file(str(graph_path))
+    dg = build_device_graph(g)
+    assert dg.bnd_w_rows > 0
+    bounds = np.asarray(dg.seg_bounds)
+    s_pad = dg.padded_steps
+    plan = plan_boundary(bounds, s_pad)
+
+    rng = np.random.default_rng(31)
+    csum_np = np.cumsum(
+        rng.integers(0, 3, s_pad).astype(np.int32)
+    ).astype(np.int32)
+    want = np.concatenate(([0], csum_np))[bounds]
+    got = gather_boundary(
+        jnp.asarray(csum_np),
+        jnp.asarray(plan.row_start),
+        jnp.asarray(plan.loc),
+        jnp.asarray(plan.over_tiles),
+        jnp.asarray(plan.over_bounds),
+        w_rows=plan.w_rows,
+        n_bounds=bounds.shape[0],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # Planned boundary-diff over the ingest plan == the XLA boundary
+    # stage of the masked query (the scan kernel itself is TPU-only;
+    # its cumsums are reproduced here with plain XLA ops).
+    from pollen_tpu.device import first_in_group_mask
+    from pollen_tpu.kernels.gatherb import boundary_diff_planned
+
+    mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+    w = jnp.concatenate(
+        [jnp.asarray(mask.astype(np.int32)), jnp.zeros(1, jnp.int32)]
+    )[dg.step_path_sorted]
+    csw = jnp.cumsum(w).astype(jnp.int32)
+    csf = jnp.cumsum(first_in_group_mask(w, dg.run_start)).astype(jnp.int32)
+    args = (
+        jnp.asarray(plan.row_start),
+        jnp.asarray(plan.loc),
+        jnp.asarray(plan.over_tiles),
+        jnp.asarray(plan.over_bounds),
+    )
+    d_p = boundary_diff_planned(
+        csw, *args, w_rows=plan.w_rows,
+        n_bounds=bounds.shape[0], interpret=True,
+    )
+    u_p = boundary_diff_planned(
+        csf, *args, w_rows=plan.w_rows,
+        n_bounds=bounds.shape[0], interpret=True,
+    )
+    d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(u_p), np.asarray(u_x))
+
+
+def test_boundary_gather_overflow_tiles():
+    """Tiles whose bound span overflows the window route through the
+    XLA fallback rows and still come back exact."""
+    from pollen_tpu.kernels.gatherb import (
+        MAX_WINDOW_ROWS,
+        gather_boundary,
+        plan_boundary,
+    )
+
+    rng = np.random.default_rng(5)
+    s_pad = 1 << 17  # 1024 rows
+    # Mostly tiny segments (they pull the window percentile down), one
+    # enormous one: its tile spans more than two window blocks.
+    bounds = np.concatenate(
+        [
+            np.arange(0, 2000, dtype=np.int32),
+            np.array([s_pad - 130], np.int32),  # ~129k-wide range
+            np.arange(s_pad - 128, s_pad + 1, dtype=np.int32),
+        ]
+    )
+    bounds = np.unique(bounds)
+    plan = plan_boundary(bounds, s_pad)
+    assert plan.w_rows <= MAX_WINDOW_ROWS
+    assert plan.over_tiles.size >= 1
+    csum_np = np.cumsum(rng.integers(0, 3, s_pad)).astype(np.int32)
+    want = np.concatenate(([0], csum_np))[bounds]
+    got = gather_boundary(
+        jnp.asarray(csum_np),
+        jnp.asarray(plan.row_start),
+        jnp.asarray(plan.loc),
+        jnp.asarray(plan.over_tiles),
+        jnp.asarray(plan.over_bounds),
+        w_rows=plan.w_rows,
+        n_bounds=bounds.shape[0],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_ell_high_path_ids():
     """Path ids >= 2**15 set the packed word's sign bit; the kernels
     must zero-extend (``(v >> 16) & 0xFFFF``), not sign-extend
