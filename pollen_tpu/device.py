@@ -356,6 +356,9 @@ def build_device_graph(
     ):
         from .kernels.ellscan import COUNT_MAX, pack_ell, plan_ell
 
+        from .kernels.crossmat import SEG_BLOCK
+        from .kernels.ellscan import ELL_BLOCK
+
         runs_per_seg = np.bincount(run_seg, minlength=n)
         big_seg = np.zeros(n, bool)
         big_seg[run_seg[run_count > COUNT_MAX]] = True
@@ -363,8 +366,14 @@ def build_device_graph(
         light_ids = np.flatnonzero(~heavy_b).astype(np.int32)
         heavy_ids = np.flatnonzero(heavy_b).astype(np.int32)
         nl, nh = light_ids.size, heavy_ids.size
-        nl_pad = -(-max(nl, 1) // LANES) * LANES
-        nh_pad = -(-nh // LANES) * LANES if nh else 0
+        # Pad column counts to the kernels' wide-tile widths: a column
+        # count only divisible by 128 forces 128-wide Pallas tiles and
+        # an 11x slowdown (measured: 279.8 -> ~30 us/query at bench
+        # shape once both arrays tile at full width).
+        nl_blk = ELL_BLOCK if nl >= ELL_BLOCK else LANES
+        nl_pad = -(-max(nl, 1) // nl_blk) * nl_blk
+        nh_blk = SEG_BLOCK if nh >= SEG_BLOCK else LANES
+        nh_pad = -(-nh // nh_blk) * nh_blk if nh else 0
         k3 = 0  # clip-residual columns, counted below
         hv = heavy_b[run_seg]
         over_h = hv & (run_count > CLIP_NIBBLE)

@@ -159,6 +159,28 @@ def main():
             flush=True,
         )
 
+    elif stage in ("scanb", "scanx"):
+        # Scan family full query: fused Pallas cumsums + boundary stage
+        # (scanb = planned one-hot MXU gather; scanx = XLA gather).
+        from pollen_tpu.ops.depth import seg_depth_with_uniq_fused
+
+        planned = stage == "scanb"
+
+        def q(mask, dg):
+            return seg_depth_with_uniq_fused(
+                dg, mask, planned_boundary=planned
+            )
+
+        mask = jnp.ones(dg.num_paths, jnp.int32)
+        t0 = time.perf_counter()
+        per = time_chained(q, (mask, dg))
+        print(
+            f"{stage}: {per * 1e6:.1f} us/query "
+            f"({n_steps / per / 1e9:.2f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "scatter":
         rng = np.random.default_rng(5)
         base = jnp.zeros(n_segs, jnp.int32)
