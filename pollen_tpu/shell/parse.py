@@ -5,6 +5,14 @@ handled by :mod:`shlex`; pipelines wire fresh pipe resources between
 stages; ``<``/``>`` redirections rebind a stage's endpoints. Recognized
 commands (``odgi depth``, ``bedtools makewindows``, ``gunzip``) lower to
 in-process ops; anything else becomes an ``exec`` passthrough.
+
+Accepted grammar note: the reference lexes with a full shell parser
+(brush-parser) but its translator REJECTS everything beyond simple
+commands, pipelines, ``;`` sequencing, and file redirections —
+``&&``/``||`` and ``&`` hit explicit unimplemented!() arms
+(parse.rs:195-209), and words expand no variables (parse.rs:238-251).
+This front end accepts exactly that same language and raises the same
+rejections, just as parse errors instead of panics.
 """
 
 from __future__ import annotations
@@ -23,6 +31,12 @@ class ShellParseError(ValueError):
 def _split_statements(tokens: List[str]) -> List[List[str]]:
     out: List[List[str]] = [[]]
     for tok in tokens:
+        if tok in ("&&", "||"):
+            # Match the reference's explicit rejection
+            # (parse.rs:205 "&& and || not supported").
+            raise ShellParseError(f"{tok} is not supported")
+        if tok == "&":
+            raise ShellParseError("async commands are not supported")
         if tok in (";", "\n"):
             if out[-1]:
                 out.append([])
@@ -155,7 +169,7 @@ def shell_to_ir(text: str) -> Program:
     # one. A ";" after each line keeps the statement boundaries.
     tokens: List[str] = []
     for line in text.splitlines():
-        lex = shlex.shlex(line, posix=True, punctuation_chars="|;<>")
+        lex = shlex.shlex(line, posix=True, punctuation_chars="|;<>&")
         lex.whitespace_split = True
         tokens.extend(lex)
         tokens.append(";")

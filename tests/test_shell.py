@@ -34,6 +34,21 @@ def test_ir_basic():
     )
 
 
+def test_unsupported_operators_rejected():
+    """&&, || and & raise parse errors (the reference's translator
+    rejects the same constructs with unimplemented!(), parse.rs:195-209
+    — they must not silently become Exec argv tokens)."""
+    from pollen_tpu.shell.parse import ShellParseError
+
+    for text in (
+        "odgi depth -d && echo done",
+        "true || false",
+        "sleep 1 &",
+    ):
+        with pytest.raises(ShellParseError):
+            shell_to_ir(text)
+
+
 def test_ir_pipeline_and_exec():
     out = render(f"odgi depth -i {TINY} -d | tail -n 2")
     assert "node-depth(gfa-0) -> pipe-0" in out
