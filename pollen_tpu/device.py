@@ -408,8 +408,18 @@ def build_device_graph(
             )
             if nh:
                 ell_nl = nl
+                # Heavy columns with clip overflow come FIRST in the
+                # heavy block, so the query's residual fixup is a
+                # prefix slice-add instead of a scatter (measured
+                # 5.9 us even for 256 scattered ids).
+                if over_cols.size:
+                    rest = heavy_ids[~np.isin(heavy_ids, over_cols)]
+                    heavy_ids = np.concatenate(
+                        [over_cols.astype(np.int32), rest]
+                    )
                 ell_order = np.concatenate([light_ids, heavy_ids])
-                seg_to_heavy = np.cumsum(heavy_b) - 1
+                seg_to_heavy = np.zeros(n, np.int64)
+                seg_to_heavy[heavy_ids] = np.arange(nh)
                 h_path = run_path[hv]
                 h_col = seg_to_heavy[run_seg[hv]]
                 h_counts = np.minimum(run_count[hv], CLIP_NIBBLE)

@@ -213,7 +213,11 @@ def seg_depth_with_uniq_ell_permuted(
         fix = jnp.sum(
             dg.ell_heavy_res * mp[:, None], axis=0, dtype=jnp.int32
         )
-        dh = dh.at[dg.ell_heavy_res_col].add(fix, mode="drop")
+        # Overflow columns occupy the heavy block's PREFIX by ingest
+        # construction (device.py), so the fixup is a slice-add, not a
+        # scatter; sentinel-padded residual columns contribute zero.
+        k3 = dg.ell_heavy_res.shape[1]
+        dh = dh.at[:k3].add(fix)
     return (
         jnp.concatenate([depth[:nl], dh[:nh]]),
         jnp.concatenate([uniq[:nl], uh[:nh]]),

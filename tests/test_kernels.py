@@ -238,6 +238,11 @@ def test_ell_heavy_segments_sidecar():
     assert dg.ell_order.shape[0] == dg.num_segments
     assert dg.ell_num_light < dg.num_segments
     assert dg.ell_heavy_res_col.size
+    # Invariant the query's slice-add fixup relies on: the residual
+    # columns occupy the heavy block's prefix, in order.
+    res_cols = np.asarray(dg.ell_heavy_res_col)
+    real = res_cols[res_cols < 2**30]
+    np.testing.assert_array_equal(real, np.arange(real.size))
     rng = np.random.default_rng(7)
     for _ in range(3):
         mask = rng.integers(0, 2, dg.num_paths).astype(bool)
