@@ -151,24 +151,30 @@ def _gather_tiles(
 
     n_tiles = loc.shape[0]
     assert csum2d.shape[0] % w_rows == 0
+    # Mosaic requires block sublane dims divisible by 8 OR equal to the
+    # array's — so loc/out ride as (1, n_tiles*128) row vectors with
+    # (1, 128) blocks (the crossmat output pattern), not (n_tiles, 128).
+    loc_row = loc.reshape(1, n_tiles * LANES)
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((w_rows, LANES), lambda i, rs: (rs[i], 0)),
             pl.BlockSpec((w_rows, LANES), lambda i, rs: (rs[i] + 1, 0)),
-            pl.BlockSpec((1, LANES), lambda i, rs: (i, 0)),
+            pl.BlockSpec((1, LANES), lambda i, rs: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda i, rs: (i, 0)),
+        out_specs=pl.BlockSpec((1, LANES), lambda i, rs: (0, i)),
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
             _kernel,
             grid_spec=spec,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (1, n_tiles * LANES), jnp.int32
+            ),
             interpret=interpret,
-        )(row_start, csum2d, csum2d, loc)
-    return out
+        )(row_start, csum2d, csum2d, loc_row)
+    return out.reshape(n_tiles, LANES)
 
 
 def gather_boundary(
