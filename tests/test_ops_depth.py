@@ -36,6 +36,35 @@ def test_seg_depth_subset_matches_golden(graph_path, arena):
     assert depth_op.run_seg_depth(g, dg, subset) == golden
 
 
+def test_seg_depth_heavy_split_end_to_end():
+    """run_seg_depth with a heavy-split ELL graph: each impl — and the
+    auto-picked one — renders the identical subset TSV in NATURAL
+    segment order (the permuted device layout must never leak)."""
+    import jax.numpy as jnp
+
+    from pollen_tpu.flatgfa import parse_gfa
+
+    lines = ["S\t1\tAA"] + [f"S\t{i}\tC" for i in range(2, 40)]
+    lines += ["P\tp0\t" + ",".join(["1+"] * 20) + ",2+\t*"]
+    lines += [f"P\tp{j}\t1+,{2 + (j % 38)}+\t*" for j in range(1, 40)]
+    g = parse_gfa(("\n".join(lines) + "\n").encode())
+    dg = build_device_graph(g, cross_matrix="always")
+    assert dg.ell_heavy.size  # the split layout is in play
+    subset = ["p0", "p3", "p17"]
+    auto = depth_op.run_seg_depth(g, dg, subset)
+    mask = jnp.asarray(depth_op.path_mask_for(g, subset))
+    for fn in (
+        depth_op.seg_depth_with_uniq_ell,
+        depth_op.seg_depth_with_uniq_cross,
+        depth_op.seg_depth_with_uniq_masked,
+    ):
+        d, u = fn(dg, mask)
+        table = depth_op.seg_depth_table(
+            g, np.asarray(d), np.asarray(u)
+        )
+        assert table == auto, fn.__name__
+
+
 def test_degree_matches_golden(graph_path, arena):
     g, dg = arena
     golden = (GOLDEN_DIR / f"{graph_path.stem}.degree").read_text()
