@@ -90,7 +90,6 @@ from .flatgfa import GraphArrays
         "ell_heavy_res_col",
         "bnd_row_start",
         "bnd_loc",
-        "bnd_over_tiles",
         "bnd_over_bounds",
     ],
     meta_fields=[
@@ -99,6 +98,7 @@ from .flatgfa import GraphArrays
         "cross_nibble",
         "ell_num_light",
         "bnd_w_rows",
+        "bnd_over_tiles",
     ],
 )
 @dataclasses.dataclass
@@ -164,7 +164,6 @@ class DeviceGraph:
     # windows instead. Empty (bnd_w_rows == 0) when unplanned.
     bnd_row_start: jax.Array  # int32[n_tiles]
     bnd_loc: jax.Array  # int32[n_tiles, 128]
-    bnd_over_tiles: jax.Array  # int32[T']
     bnd_over_bounds: jax.Array  # int32[T', 128]
 
     num_segments: int
@@ -175,6 +174,8 @@ class DeviceGraph:
     ell_num_light: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
+    # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
+    bnd_over_tiles: tuple = ()
 
     @property
     def num_steps(self) -> int:
@@ -470,8 +471,14 @@ def build_device_graph(
     # while csum values cast to f32 exactly.
     from .kernels.gatherb import plan_boundary
 
-    if s_pad < (1 << 24) and n > 0:
-        bplan = plan_boundary(seg_bounds, s_pad)
+    bplan = (
+        plan_boundary(seg_bounds, s_pad)
+        if s_pad < (1 << 24) and n > 0
+        else None
+    )
+    # The overflow fixup unrolls per tile; a pathological plan with
+    # many overflow tiles would bloat the program — skip the plan.
+    if bplan is not None and len(bplan.over_tiles) <= 64:
         bnd_row_start = bplan.row_start
         bnd_loc = bplan.loc
         bnd_over_tiles = bplan.over_tiles
@@ -480,7 +487,7 @@ def build_device_graph(
     else:
         bnd_row_start = np.zeros(0, np.int32)
         bnd_loc = np.zeros((0, 128), np.int32)
-        bnd_over_tiles = np.zeros(0, np.int32)
+        bnd_over_tiles = ()
         bnd_over_bounds = np.zeros((0, 128), np.int32)
         bnd_w_rows = 0
 
@@ -529,13 +536,13 @@ def build_device_graph(
         ell_heavy_res_col=put(jnp.asarray(ell_heavy_res_col)),
         bnd_row_start=put(jnp.asarray(bnd_row_start)),
         bnd_loc=put(jnp.asarray(bnd_loc)),
-        bnd_over_tiles=put(jnp.asarray(bnd_over_tiles)),
         bnd_over_bounds=put(jnp.asarray(bnd_over_bounds)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,
         ell_num_light=ell_nl,
         bnd_w_rows=bnd_w_rows,
+        bnd_over_tiles=bnd_over_tiles,
     )
 
 

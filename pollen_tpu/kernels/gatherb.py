@@ -51,11 +51,17 @@ MAX_WINDOW_ROWS = 512
 
 @dataclasses.dataclass
 class BoundaryPlan:
-    """Ingest-time plan for gathering ``csum[bounds]``."""
+    """Ingest-time plan for gathering ``csum[bounds]``.
 
-    row_start: np.ndarray  # int32[n_tiles] window start row per tile
+    ``over_tiles`` is a plain tuple (STATIC under jit): the overflow
+    fixup unrolls into per-tile dynamic_update_slices — XLA's TPU
+    scatter emitter aborts (jellyfish SortedScatterEmitter check
+    failure) on a scatter-set fed by a gather, so no scatter op may
+    appear here at all."""
+
+    row_start: np.ndarray  # int32[n_tiles] window BLOCK index per tile
     loc: np.ndarray  # int32[n_tiles, 128] offset within window
-    over_tiles: np.ndarray  # int32[T'] tiles that overflow the window
+    over_tiles: tuple  # tile indices that overflow the window (static)
     over_bounds: np.ndarray  # int32[T', 128] their raw bound positions
     w_rows: int  # window rows (static)
     n_bounds: int  # true bounds count (result length)
@@ -106,7 +112,7 @@ def plan_boundary(bounds: np.ndarray, s_pad: int) -> BoundaryPlan:
     return BoundaryPlan(
         row_start=blk,
         loc=loc,
-        over_tiles=over,
+        over_tiles=tuple(int(t) for t in over),
         over_bounds=over_bounds,
         w_rows=int(w_rows),
         n_bounds=nb,
@@ -181,7 +187,7 @@ def gather_boundary(
     csum: jax.Array,  # int32[S_pad] inclusive cumsum (padded to 128)
     row_start: jax.Array,  # int32[n_tiles]
     loc: jax.Array,  # int32[n_tiles, 128]
-    over_tiles: jax.Array,  # int32[T']
+    over_tiles: tuple,  # static tile indices (ingest-known)
     over_bounds: jax.Array,  # int32[T', 128]
     w_rows: int,
     n_bounds: int,
@@ -191,8 +197,8 @@ def gather_boundary(
     semantics matching device.boundary_values): int32[n_bounds].
 
     The plan's arrays are passed as device arrays so they upload once
-    at ingest and flow through jit; ``w_rows``/``n_bounds`` are the
-    plan's static shape parameters.
+    at ingest and flow through jit; ``w_rows``/``n_bounds``/
+    ``over_tiles`` are the plan's static parameters.
     """
     # Exclusive shift: prepend 0; pad the tail so (a) a bound equal to
     # the padded length indexes one past the data and (b) the row count
@@ -211,10 +217,16 @@ def gather_boundary(
     out = _gather_tiles(
         csum2d, row_start, loc, w_rows=w_rows, interpret=interpret
     )
-    if over_tiles.shape[0]:
-        # Overflow tiles: plain XLA gather on just their bounds.
-        fix = ex[over_bounds]  # (T', 128)
-        out = out.at[over_tiles].set(fix)
+    if over_tiles:
+        # Overflow tiles: 2D-reshaped gather on just their bounds (the
+        # form XLA's TPU backend lowers reliably), placed with UNROLLED
+        # static-index row updates — scatter ops abort this libtpu's
+        # fusion emitter when fed by a gather.
+        fix = csum2d[over_bounds // LANES, over_bounds % LANES]
+        for j, t in enumerate(over_tiles):
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, fix[j : j + 1], t, axis=0
+            )
     return out.reshape(-1)[:n_bounds]
 
 
@@ -222,7 +234,7 @@ def boundary_diff_planned(
     csum: jax.Array,
     row_start: jax.Array,
     loc: jax.Array,
-    over_tiles: jax.Array,
+    over_tiles: tuple,
     over_bounds: jax.Array,
     w_rows: int,
     n_bounds: int,

@@ -132,7 +132,7 @@ def seg_depth_with_uniq_fused(
         args = (
             dg.bnd_row_start,
             dg.bnd_loc,
-            dg.bnd_over_tiles,
+            dg.bnd_over_tiles,  # static tuple (meta field)
             dg.bnd_over_bounds,
         )
         kw = dict(

@@ -290,7 +290,7 @@ def test_boundary_gather_planned(graph_path):
         jnp.asarray(csum_np),
         jnp.asarray(plan.row_start),
         jnp.asarray(plan.loc),
-        jnp.asarray(plan.over_tiles),
+        plan.over_tiles,
         jnp.asarray(plan.over_bounds),
         w_rows=plan.w_rows,
         n_bounds=bounds.shape[0],
@@ -313,7 +313,7 @@ def test_boundary_gather_planned(graph_path):
     args = (
         jnp.asarray(plan.row_start),
         jnp.asarray(plan.loc),
-        jnp.asarray(plan.over_tiles),
+        plan.over_tiles,
         jnp.asarray(plan.over_bounds),
     )
     d_p = boundary_diff_planned(
@@ -352,14 +352,14 @@ def test_boundary_gather_overflow_tiles():
     bounds = np.unique(bounds)
     plan = plan_boundary(bounds, s_pad)
     assert plan.w_rows <= MAX_WINDOW_ROWS
-    assert plan.over_tiles.size >= 1
+    assert len(plan.over_tiles) >= 1
     csum_np = np.cumsum(rng.integers(0, 3, s_pad)).astype(np.int32)
     want = np.concatenate(([0], csum_np))[bounds]
     got = gather_boundary(
         jnp.asarray(csum_np),
         jnp.asarray(plan.row_start),
         jnp.asarray(plan.loc),
-        jnp.asarray(plan.over_tiles),
+        plan.over_tiles,
         jnp.asarray(plan.over_bounds),
         w_rows=plan.w_rows,
         n_bounds=bounds.shape[0],
