@@ -30,10 +30,15 @@ roofline_stage() {
   done
   echo "[$(date +%H:%M:%S)] roofline GAVE UP" >> "$OUT"
 }
+# Budgets must cover UPLOADS: device_put is lazy and the first kernel
+# call pays the transfer at ~30-90 MB/s (the 16.7 MB crossing matrix
+# alone can take 200-550 s; the scan stages upload ~34 MB).
 roofline_stage
-run_stage probes/ell_probe.py ellk "ellk:"
-run_stage probes/ell_probe.py crossd "crossd:"
-run_stage probes/ell_probe.py ell "ell:"
-run_stage probes/ell_probe.py ellok "ellok:"
+run_stage probes/ell_probe.py ellk "ellk:" 600
+run_stage probes/ell_probe.py crossd "crossd:" 900
+run_stage probes/ell_probe.py ell "ell:" 600
+run_stage probes/ell_probe.py ellok "ellok:" 1500
+run_stage probes/ell_probe.py scanb "scanb:" 1500
+run_stage probes/ell_probe.py scanx "scanx:" 1500
 run_stage probes/ell_probe.py scatter "scatter: done" 600
 echo "[$(date +%H:%M:%S)] ALL DONE" >> "$OUT"
