@@ -11,8 +11,14 @@ step list, the two inclusive cumulative sums the depth query needs:
 Design notes (why this shape):
 
 * The mask lookup ``w = mask[path_id]`` is a gather XLA lowers poorly on
-  TPU; here it becomes a one-hot (bf16) x mask (f32) matvec on the MXU —
-  ~256 MACs per step per 128 paths, effectively free next to HBM time.
+  TPU. For graphs up to ``32 * MAX_SELECT_WORDS`` paths it becomes
+  bitwise word selection — the mask packed into P/32 int32 SMEM words,
+  each step extracting its path's bit with a log-depth select chain
+  plus one variable shift (the ellscan trick; a handful of VPU ops per
+  step). Larger path counts fall back to a one-hot x mask matvec on the
+  MXU (~P MACs per step — the MACs are free, but *building* the 3-D
+  one-hot costs ~2 VPU ops per step per 128 paths, which measured ~10x
+  slower than the bit select at P=128: 9.7 ms vs TBD per 2^22 steps).
 * "First selected step in my group" normally needs a segmented scan with
   a gather at each group start. Because groups are contiguous and the
   cumsum is non-decreasing, the gather is replaced by a *prefix max*:
@@ -38,6 +44,10 @@ import jax.numpy as jnp
 LANES = 128
 ROWS = 64  # steps per block = ROWS * LANES (tuned on v5e; see BLOCK)
 BLOCK = ROWS * LANES
+# Bit-select mask mode is used up to this many packed mask words; the
+# select chain unrolls n_words-1 full-block selects, so past this the
+# Mosaic compile (and the VPU work) outgrows the one-hot matvec.
+MAX_SELECT_WORDS = 64
 
 
 def pallas_available() -> bool:
@@ -113,7 +123,7 @@ def _flat_cummax(x: jax.Array) -> jax.Array:
     return jnp.maximum(rows, prefix)
 
 
-def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry):
+def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words):
     from jax.experimental import pallas as pl
 
     block = pl.program_id(0)
@@ -132,28 +142,39 @@ def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry):
     ids = ids_ref[:]  # (ROWS, LANES) int32 path ids
     rs = rs_ref[:]  # (ROWS, LANES) int32 global group starts
 
-    # w = mask[ids] via one-hot matmul against the mask table (rows of
-    # 128 paths at a time; the gather XLA would emit is far slower).
-    n_chunks = mask_ref.shape[0]
-    w = jnp.zeros((ROWS, LANES), jnp.int32)
-    for c in range(n_chunks):
-        chunk = mask_ref[c, :]  # float32 row of 128 mask entries
-        onehot = (
-            ids[:, :, None]
-            == (
-                jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-                + c * LANES
+    if n_words is not None:
+        # w = mask[ids] by bit extraction from packed SMEM mask words
+        # (log-depth tournament select + one variable shift; see
+        # kernels/ellscan.py for the pattern).
+        from .ellscan import _select_word
+
+        words = [mask_ref[j] for j in range(n_words)]
+        w32 = _select_word(ids >> 5, words)
+        w = (w32 >> (ids & 31)) & 1
+    else:
+        # w = mask[ids] via one-hot matmul against the mask table (rows
+        # of 128 paths at a time) — the wide-P fallback: MACs ride the
+        # MXU, and the 3-D one-hot build is amortized over many paths.
+        n_chunks = mask_ref.shape[0]
+        w = jnp.zeros((ROWS, LANES), jnp.int32)
+        for c in range(n_chunks):
+            chunk = mask_ref[c, :]  # float32 row of 128 mask entries
+            onehot = (
+                ids[:, :, None]
+                == (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+                    + c * LANES
+                )
+            ).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                onehot,
+                chunk,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        ).astype(jnp.float32)
-        part = jax.lax.dot_general(
-            onehot,
-            chunk,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # Accumulate in int32: Mosaic only supports constant matmul
-        # accumulators, so keep the adds off the MXU.
-        w = w + part.astype(jnp.int32)
+            # Accumulate in int32: Mosaic only supports constant matmul
+            # accumulators, so keep the adds off the MXU.
+            w = w + part.astype(jnp.int32)
 
     # Global inclusive cumsum of w.
     cs_local = _flat_cumsum(w)
@@ -211,6 +232,17 @@ def masked_depth_cumsums(
     assert mask.shape[0] % LANES == 0, "pad the mask to a multiple of 128"
     shape2d = (s // LANES, LANES)
 
+    n_words = mask.shape[0] // 32
+    if n_words <= MAX_SELECT_WORDS:
+        from .ellscan import pack_mask_words
+
+        mask_arg = pack_mask_words(mask, n_words)
+        mask_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        n_words = None
+        mask_arg = mask.astype(jnp.float32).reshape(-1, LANES)
+        mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     block = pl.BlockSpec(
         (ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -220,9 +252,9 @@ def masked_depth_cumsums(
     # unchanged.
     with jax.enable_x64(False):
         csw, csf = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, n_words=n_words),
             grid=(s // t,),
-            in_specs=[block, block, pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[block, block, mask_spec],
             out_specs=(block, block),
             out_shape=(
                 jax.ShapeDtypeStruct(shape2d, jnp.int32),
@@ -233,7 +265,7 @@ def masked_depth_cumsums(
         )(
             path_sorted.reshape(shape2d),
             run_start.reshape(shape2d),
-            mask.astype(jnp.float32).reshape(-1, LANES),
+            mask_arg,
         )
     return csw.reshape(s), csf.reshape(s)
 

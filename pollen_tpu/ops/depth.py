@@ -244,22 +244,28 @@ def seg_depth_with_uniq_ell(
     return jnp.asarray(d_nat), jnp.asarray(u_nat)
 
 
-# Equivalent streamed bytes per segment for the scan family's boundary
-# stage (four N-sized gathers; XLA's TPU gather runs ~30x below the
-# streaming rate, measured on v5e — see docs/benchmarks.md).
-_BOUNDARY_EQUIV_BYTES = 128
+# Cost-model constants, in "equivalent streamed bytes" (time at the
+# measured 657 GB/s roofline), calibrated against the TPU probes at
+# bench shape (2^22 steps, 2^18 segments, 128 paths — probes/
+# RESULTS.txt): the fused scan measured 2495.7 us end-to-end with the
+# planned boundary (~390 equiv B/step: the kernel is VPU/overhead-
+# bound, not stream-bound), the XLA pipeline 12302.7 us (~1930
+# equiv B/step, dominated by the TPU gather's ~94 M elem/s boundary).
+_SCAN_EQUIV_BYTES = 390
+_XLA_EQUIV_BYTES = 1930
 
 
 def _masked_impl_costs(dg: DeviceGraph) -> dict:
     """Equivalent streamed bytes per masked-depth query, per resident
     index — all shapes, so decidable at trace time."""
-    boundary = _BOUNDARY_EQUIV_BYTES * dg.num_segments
     costs = {
-        "scan": 16 * dg.padded_steps + boundary,
-        "xla": 24 * dg.padded_steps + boundary,
+        "scan": _SCAN_EQUIV_BYTES * dg.padded_steps,
+        "xla": _XLA_EQUIV_BYTES * dg.padded_steps,
     }
     if dg.run_path.shape[0]:
-        costs["runs"] = 16 * dg.run_path.shape[0] + boundary
+        # Same kernel family as the fused scan (runscan shares its
+        # cumsum/select structure), over R runs instead of S steps.
+        costs["runs"] = _SCAN_EQUIV_BYTES * dg.run_path.shape[0]
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:

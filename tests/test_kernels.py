@@ -31,7 +31,10 @@ def _random_case(s, p, n, seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("p", [60, 200])
+# p=60/200 ride the packed-word bit-select mask mode; p=2300 pads to
+# 2304 paths (72 words > MAX_SELECT_WORDS) and exercises the one-hot
+# matvec fallback.
+@pytest.mark.parametrize("p", [60, 200, 2300])
 def test_kernel_matches_bruteforce(seed, p):
     s, n = 8192, 37
     seg, path, run_start, bounds = _random_case(s, p, n, seed)
