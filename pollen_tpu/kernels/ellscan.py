@@ -220,6 +220,94 @@ def masked_ell_depth(
     return depth[0], uniq[0]
 
 
+# --- tall layout ------------------------------------------------------
+# The flat (K, N_pad) layout issues (1, width)-narrow output stores —
+# which the hardware pads to 8 sublanes (8x write amplification) — and
+# (K, width) input blocks small enough that per-grid-step overhead
+# shows. The tall layout folds SUB column-tiles into the sublane axis:
+# one grid step covers SUB * TALL_W columns with a (K*SUB, TALL_W)
+# input block and fully-populated (SUB, TALL_W) output blocks, whose
+# flat reshape is exactly the natural column order.
+
+SUB = 8
+TALL_W = 4096
+
+
+def pack_ell_tall(ell: np.ndarray) -> np.ndarray:
+    """(K, N_pad) slots -> (G*K*SUB, TALL_W) with
+    tall[(g*K + k)*SUB + r, c] = ell[k, g*SUB*TALL_W + r*TALL_W + c]
+    (zero-padding N to a multiple of SUB*TALL_W)."""
+    k, n = ell.shape
+    tile = SUB * TALL_W
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        ell = np.concatenate(
+            [ell, np.zeros((k, n_pad - n), ell.dtype)], axis=1
+        )
+    g = n_pad // tile
+    return (
+        ell.reshape(k, g, SUB, TALL_W)
+        .transpose(1, 0, 2, 3)
+        .reshape(g * k * SUB, TALL_W)
+        .copy()
+    )
+
+
+def _kernel_tall(mask_ref, ell_ref, depth_ref, uniq_ref, *, n_words, k):
+    a = ell_ref[:]  # (K*SUB, TALL_W) int32
+    words = [mask_ref[j] for j in range(n_words)]
+    depth = jnp.zeros((SUB, TALL_W), jnp.int32)
+    uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
+    for kk in range(k):
+        v = a[kk * SUB : (kk + 1) * SUB]
+        pid = (v >> COUNT_BITS) & 0xFFFF
+        cnt = v & COUNT_MAX
+        w32 = _select_word(pid >> 5, words)
+        bit = (w32 >> (pid & 31)) & 1
+        depth = depth + bit * cnt
+        uniq = uniq + bit * (v != 0).astype(jnp.int32)
+    depth_ref[:] = depth
+    uniq_ref[:] = uniq
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def masked_ell_depth_tall(
+    ell_tall: jax.Array,  # int32[G*K*SUB, TALL_W] (pack_ell_tall)
+    mask: jax.Array,  # int32/bool[>=P] (0/1)
+    k: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(depth, uniq) int32[G*SUB*TALL_W] in natural column order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = ell_tall.shape[0]
+    assert ell_tall.shape[1] == TALL_W and rows % (k * SUB) == 0
+    g = rows // (k * SUB)
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+
+    ell_block = pl.BlockSpec(
+        (k * SUB, TALL_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    o_block = pl.BlockSpec(
+        (SUB, TALL_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    with jax.enable_x64(False):
+        depth, uniq = pl.pallas_call(
+            functools.partial(_kernel_tall, n_words=n_words, k=k),
+            grid=(g,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), ell_block],
+            out_specs=(o_block, o_block),
+            out_shape=(
+                jax.ShapeDtypeStruct((g * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((g * SUB, TALL_W), jnp.int32),
+            ),
+            interpret=interpret,
+        )(words, ell_tall)
+    return depth.reshape(-1), uniq.reshape(-1)
+
+
 @jax.jit
 def masked_ell_depth_xla(
     ell: jax.Array, mask: jax.Array

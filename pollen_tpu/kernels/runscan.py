@@ -7,11 +7,12 @@ only two cumulative sums over R <= S elements:
 * ``csum_wc`` — running sum of ``mask[run_path] * run_count`` (depth),
 * ``csum_w``  — running sum of ``mask[run_path]`` (distinct paths).
 
-No first-occurrence logic, no prefix-max — just the one-hot MXU mask
-lookup and exact int32 shift-add cumsums, with two scalars of SMEM
-carry. Pays off over segscan's S-level kernel when the run index is
-much smaller than the step list (heavily repeated crossings); the op
-layer picks per-graph.
+No first-occurrence logic, no prefix-max — just the mask lookup
+(packed-word bit select for small path counts, one-hot MXU matvec for
+wide ones: see kernels/segscan.py) and exact int32 shift-add cumsums,
+with two scalars of SMEM carry. Pays off over segscan's S-level kernel
+when the run index is much smaller than the step list (heavily
+repeated crossings); the op layer picks per-graph.
 """
 
 from __future__ import annotations
@@ -59,7 +60,8 @@ def _flat_int_cumsum(x: jax.Array) -> jax.Array:
     return rows + prefix
 
 
-def _kernel(ids_ref, counts_ref, mask_ref, cswc_ref, csw_ref, carry):
+def _kernel(ids_ref, counts_ref, mask_ref, cswc_ref, csw_ref, carry, *,
+            n_words):
     from jax.experimental import pallas as pl
 
     block = pl.program_id(0)
@@ -72,24 +74,31 @@ def _kernel(ids_ref, counts_ref, mask_ref, cswc_ref, csw_ref, carry):
     ids = ids_ref[:]
     counts = counts_ref[:]
 
-    n_chunks = mask_ref.shape[0]
-    w = jnp.zeros((ROWS, LANES), jnp.int32)
-    for c in range(n_chunks):
-        chunk = mask_ref[c, :]
-        onehot = (
-            ids[:, :, None]
-            == (
-                jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-                + c * LANES
+    if n_words is not None:
+        from .ellscan import _select_word
+
+        words = [mask_ref[j] for j in range(n_words)]
+        w32 = _select_word(ids >> 5, words)
+        w = (w32 >> (ids & 31)) & 1
+    else:
+        n_chunks = mask_ref.shape[0]
+        w = jnp.zeros((ROWS, LANES), jnp.int32)
+        for c in range(n_chunks):
+            chunk = mask_ref[c, :]
+            onehot = (
+                ids[:, :, None]
+                == (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+                    + c * LANES
+                )
+            ).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                onehot,
+                chunk,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        ).astype(jnp.float32)
-        part = jax.lax.dot_general(
-            onehot,
-            chunk,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        w = w + part.astype(jnp.int32)
+            w = w + part.astype(jnp.int32)
 
     cswc_ref[:] = _flat_int_cumsum(w * counts) + carry[0]
     csw_ref[:] = _flat_int_cumsum(w) + carry[1]
@@ -113,14 +122,27 @@ def masked_run_cumsums(
     assert mask.shape[0] % LANES == 0
     shape2d = (r // LANES, LANES)
 
+    from .segscan import MAX_SELECT_WORDS
+
+    n_words = mask.shape[0] // 32
+    if n_words <= MAX_SELECT_WORDS:
+        from .ellscan import pack_mask_words
+
+        mask_arg = pack_mask_words(mask, n_words)
+        mask_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        n_words = None
+        mask_arg = mask.astype(jnp.float32).reshape(-1, LANES)
+        mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     block = pl.BlockSpec(
         (ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     with jax.enable_x64(False):
         cswc, csw = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, n_words=n_words),
             grid=(r // BLOCK,),
-            in_specs=[block, block, pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[block, block, mask_spec],
             out_specs=(block, block),
             out_shape=(
                 jax.ShapeDtypeStruct(shape2d, jnp.int32),
@@ -131,6 +153,6 @@ def masked_run_cumsums(
         )(
             run_path.reshape(shape2d),
             run_count.reshape(shape2d),
-            mask.astype(jnp.float32).reshape(-1, LANES),
+            mask_arg,
         )
     return cswc.reshape(r), csw.reshape(r)

@@ -86,6 +86,31 @@ def main():
             flush=True,
         )
 
+    elif stage == "elltall":
+        # Tall (sublane-folded) light-ELL layout: fully-populated
+        # (8, 4096) output blocks instead of (1, width) narrow stores,
+        # 8x fewer grid steps. Compare against the ellk stage.
+        from pollen_tpu.kernels.ellscan import (
+            masked_ell_depth_tall,
+            pack_ell_tall,
+        )
+
+        k = int(dg.cross_ell.shape[0])
+        tall = jnp.asarray(pack_ell_tall(np.asarray(dg.cross_ell)))
+
+        def q(mask, tall):
+            return masked_ell_depth_tall(tall, mask, k=k)
+
+        mask = jnp.ones(dg.num_paths, jnp.int32)
+        t0 = time.perf_counter()
+        per = time_chained(q, (mask, tall))
+        print(
+            f"elltall: {per * 1e6:.1f} us/query "
+            f"({n_steps / per / 1e9:.1f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "ell":
         from pollen_tpu.ops.depth import seg_depth_with_uniq_ell_permuted
 

@@ -215,6 +215,48 @@ def test_ell_matches_xla(graph_path):
     np.testing.assert_array_equal(np.array(bits, bool), mask)
 
 
+def test_ell_tall_layout_matches_flat():
+    """The tall (sublane-folded) ELL layout returns the same depth/uniq
+    as the flat layout, in natural column order."""
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        masked_ell_depth_tall,
+        masked_ell_depth_xla,
+        pack_ell,
+        pack_mask_words,  # noqa: F401 (import check)
+    )
+
+    rng = np.random.default_rng(41)
+    for k, n_cols, p in ((2, SUB * TALL_W, 60), (4, 2 * SUB * TALL_W, 200)):
+        n_runs = 3 * n_cols // 2
+        run_col = rng.integers(0, n_cols, n_runs).astype(np.int64)
+        # At most k runs per column: take the first k occurrences.
+        order = np.argsort(run_col, kind="stable")
+        run_col = run_col[order]
+        slot = np.arange(n_runs) - np.searchsorted(
+            run_col, run_col, side="left"
+        )
+        keep = slot < k
+        run_col, slot = run_col[keep], slot[keep]
+        m_runs = run_col.size
+        run_path = rng.integers(0, p, m_runs).astype(np.int32)
+        run_count = rng.integers(1, 100, m_runs).astype(np.int32)
+        ell = pack_ell(run_path, run_count, run_col, slot, k, n_cols)
+
+        from pollen_tpu.kernels.ellscan import pack_ell_tall
+
+        tall = pack_ell_tall(ell)
+        assert tall.shape == (ell.shape[1] // (SUB * TALL_W) * k * SUB, TALL_W)
+        mask = rng.integers(0, 2, p).astype(np.int32)
+        d_t, u_t = masked_ell_depth_tall(
+            jnp.asarray(tall), jnp.asarray(mask), k=k, interpret=True
+        )
+        d_x, u_x = masked_ell_depth_xla(jnp.asarray(ell), jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_t), np.asarray(u_x))
+
+
 def test_ell_heavy_segments_sidecar():
     """Segments with more runs than K slots split into the heavy
     nibble sub-matrix (with clip residual); depth AND uniq exact."""
