@@ -97,6 +97,7 @@ from .flatgfa import GraphArrays
         "num_paths",
         "cross_nibble",
         "ell_num_light",
+        "ell_k",
         "bnd_w_rows",
         "bnd_over_tiles",
     ],
@@ -152,7 +153,12 @@ class DeviceGraph:
     # the permuted order ``ell_order = [light segs, heavy segs]`` —
     # pure concatenation, no scatter and no gather; ``ell_order`` is
     # empty when there are no heavy segments (identity) or no ELL.
-    cross_ell: jax.Array  # int32[K, NL_pad] or (0, 0)
+    # Stored in the TALL layout (kernels/ellscan.py pack_ell_tall):
+    # (G*K*8, 4096) with 8 column-tiles folded into sublanes, so the
+    # kernel's output blocks are fully populated (the flat layout's
+    # (1, width) stores pad to 8 sublanes on hardware — measured 25.6
+    # -> 9.7 us/query at bench shape). ``ell_k`` (static) records K.
+    cross_ell: jax.Array  # int32[G*K*8, 4096] or (0, 0)
     ell_order: jax.Array  # int32[N] or (0,)
     ell_heavy: jax.Array  # uint8[P_pad/2, NH_pad] or (0, 0)
     ell_heavy_res: jax.Array  # int32[P_pad, K3_pad] or (0, 0)
@@ -172,6 +178,8 @@ class DeviceGraph:
     # Number of light (non-heavy) segments in the split ELL layout;
     # equals num_segments when there are no heavy segments.
     ell_num_light: int = 0
+    # Slot count K of the tall ELL layout (static); 0 = no ELL index.
+    ell_k: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
@@ -491,6 +499,15 @@ def build_device_graph(
         bnd_over_bounds = np.zeros((0, 128), np.int32)
         bnd_w_rows = 0
 
+    # Fold the light ELL slots into the tall layout the production
+    # kernel consumes (kernels/ellscan.py masked_ell_depth_tall).
+    ell_k = 0
+    if ell.size:
+        from .kernels.ellscan import pack_ell_tall
+
+        ell_k = int(ell.shape[0])
+        ell = pack_ell_tall(ell)
+
     # Path step-span boundaries (step spans are contiguous in path order).
     path_bounds = np.concatenate(
         ([0], np.cumsum(g.path_steps[:, 1] - g.path_steps[:, 0]))
@@ -541,6 +558,7 @@ def build_device_graph(
         num_paths=p,
         cross_nibble=use_nibble,
         ell_num_light=ell_nl,
+        ell_k=ell_k,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
     )

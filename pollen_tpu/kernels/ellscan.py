@@ -253,6 +253,18 @@ def pack_ell_tall(ell: np.ndarray) -> np.ndarray:
     )
 
 
+def unfold_ell_tall(tall, k: int):
+    """Inverse of ``pack_ell_tall``: (G*K*SUB, TALL_W) -> (K, N_pad)
+    flat slots (works on numpy or jax arrays; N_pad = G*SUB*TALL_W)."""
+    rows = tall.shape[0]
+    g = rows // (k * SUB)
+    return (
+        tall.reshape(g, k, SUB, TALL_W)
+        .transpose(1, 0, 2, 3)
+        .reshape(k, g * SUB * TALL_W)
+    )
+
+
 def _kernel_tall(mask_ref, ell_ref, depth_ref, uniq_ref, *, n_words, k):
     a = ell_ref[:]  # (K*SUB, TALL_W) int32
     words = [mask_ref[j] for j in range(n_words)]

@@ -196,11 +196,19 @@ def seg_depth_with_uniq_ell_permuted(
     permuted layout replaces the scatter/gather placement entirely.
     When the graph has no heavy segments the order is the identity."""
     from ..kernels.crossmat import masked_cross_depth, masked_cross_depth_xla
-    from ..kernels.ellscan import masked_ell_depth, masked_ell_depth_xla
+    from ..kernels.ellscan import (
+        masked_ell_depth_tall,
+        masked_ell_depth_xla,
+        unfold_ell_tall,
+    )
 
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
-    fn = masked_ell_depth if pallas else masked_ell_depth_xla
-    depth, uniq = fn(dg.cross_ell, m)
+    if pallas:
+        depth, uniq = masked_ell_depth_tall(dg.cross_ell, m, k=dg.ell_k)
+    else:
+        depth, uniq = masked_ell_depth_xla(
+            unfold_ell_tall(dg.cross_ell, dg.ell_k), m
+        )
     if not dg.ell_heavy.size:
         return depth[: dg.num_segments], uniq[: dg.num_segments]
     nl = dg.ell_num_light
@@ -272,11 +280,11 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
         # int32 slots: 4 DMA bytes each plus the per-slot VPU work
         # (fixed unpack/extract ops + the mask-word select tournament,
         # which scales with the word count). Calibrated against the
-        # measured TPU probe: 25.6 us/query at 2^20 slots with
-        # n_words = 4 == ~16 equivalent streamed bytes per slot
-        # (probes/RESULTS.txt, ellk stage).
+        # measured TPU probe of the tall layout: 9.7 us/query at 2^19
+        # slots with n_words = 4 == ~12 equivalent streamed bytes per
+        # slot (probes/RESULTS.txt, elltall stage).
         n_words = -(-max(dg.num_paths, 1) // 32)
-        per_slot = 4 + 3 * n_words
+        per_slot = 4 + 2 * n_words
         costs["ell"] = (
             per_slot * dg.cross_ell.size
             + 2 * dg.ell_heavy.size  # nibble sub-matrix: DMA + unpack

@@ -435,8 +435,13 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
     returns None when the graph has no ELL index."""
     if dg.cross_ell.size == 0:
         return None
+    from ..kernels.ellscan import unfold_ell_tall
+
     n_dev = mesh.size
-    e, lw = _pad_cols(np.asarray(dg.cross_ell), n_dev)
+    # The resident layout is tall (sublane-folded, kernels/ellscan.py);
+    # unfold to flat (K, N) slots so columns shard contiguously.
+    flat = unfold_ell_tall(np.asarray(dg.cross_ell), dg.ell_k)
+    e, lw = _pad_cols(np.ascontiguousarray(flat), n_dev)
     col_shard = NamedSharding(mesh, P(None, STEP_AXES))
     repl = NamedSharding(mesh, P())
     heavy = None

@@ -70,42 +70,22 @@ def main():
         flush=True,
     )
 
-    if stage == "ellk":
-        from pollen_tpu.kernels.ellscan import masked_ell_depth
+    if stage in ("ellk", "elltall"):
+        # The bare light kernel over the resident (tall) layout:
+        # fully-populated (8, 4096) output blocks instead of the flat
+        # layout's (1, width) narrow stores (measured 25.6 -> 9.7 us).
+        from pollen_tpu.kernels.ellscan import masked_ell_depth_tall
 
-        def q(mask, ell):
-            return masked_ell_depth(ell, mask)
-
-        mask = jnp.ones(dg.num_paths, jnp.int32)
-        t0 = time.perf_counter()
-        per = time_chained(q, (mask, dg.cross_ell))
-        print(
-            f"ellk: {per * 1e6:.1f} us/query "
-            f"({n_steps / per / 1e9:.1f} G steps/s) "
-            f"(total {time.perf_counter() - t0:.1f}s)",
-            flush=True,
-        )
-
-    elif stage == "elltall":
-        # Tall (sublane-folded) light-ELL layout: fully-populated
-        # (8, 4096) output blocks instead of (1, width) narrow stores,
-        # 8x fewer grid steps. Compare against the ellk stage.
-        from pollen_tpu.kernels.ellscan import (
-            masked_ell_depth_tall,
-            pack_ell_tall,
-        )
-
-        k = int(dg.cross_ell.shape[0])
-        tall = jnp.asarray(pack_ell_tall(np.asarray(dg.cross_ell)))
+        k = dg.ell_k
 
         def q(mask, tall):
             return masked_ell_depth_tall(tall, mask, k=k)
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
         t0 = time.perf_counter()
-        per = time_chained(q, (mask, tall))
+        per = time_chained(q, (mask, dg.cross_ell))
         print(
-            f"elltall: {per * 1e6:.1f} us/query "
+            f"{stage}: {per * 1e6:.1f} us/query "
             f"({n_steps / per / 1e9:.1f} G steps/s) "
             f"(total {time.perf_counter() - t0:.1f}s)",
             flush=True,

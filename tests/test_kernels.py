@@ -169,7 +169,6 @@ def test_ell_matches_xla(graph_path):
     """Split ELL run depth (XLA fallback + Pallas interpret + permuted
     layout) vs the masked-scan pipeline."""
     from pollen_tpu.kernels.ellscan import (
-        masked_ell_depth,
         masked_ell_depth_xla,
         pack_mask_words,
     )
@@ -203,10 +202,20 @@ def test_ell_matches_xla(graph_path):
         np.testing.assert_array_equal(d_nat, np.asarray(d_x))
         np.testing.assert_array_equal(u_nat, np.asarray(u_x))
 
-        # Pallas interpret kernel == XLA fallback on the light columns.
+        # Pallas interpret kernel (tall resident layout) == XLA
+        # fallback on the unfolded flat slots.
+        from pollen_tpu.kernels.ellscan import (
+            masked_ell_depth_tall,
+            unfold_ell_tall,
+        )
+
         m32 = jnp.asarray(mask.astype(np.int32))
-        d_k, u_k = masked_ell_depth(dg.cross_ell, m32, interpret=True)
-        d_k2, u_k2 = masked_ell_depth_xla(dg.cross_ell, m32)
+        d_k, u_k = masked_ell_depth_tall(
+            dg.cross_ell, m32, k=dg.ell_k, interpret=True
+        )
+        d_k2, u_k2 = masked_ell_depth_xla(
+            unfold_ell_tall(dg.cross_ell, dg.ell_k), m32
+        )
         np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_k2))
         np.testing.assert_array_equal(np.asarray(u_k), np.asarray(u_k2))
     # Mask-word packing round trip.
