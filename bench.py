@@ -311,7 +311,7 @@ def measure_depth(
     )
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_cross,
-        seg_depth_with_uniq_ell_permuted,
+        seg_depth_with_uniq_ell_parts,
     )
 
     p_pad = -(-(dg.num_paths + 1) // 128) * 128
@@ -322,10 +322,17 @@ def measure_depth(
         def body(i, carry):
             mask, acc = carry
             if impl == "ell":
-                # Permuted output order: fine for the chained timing
-                # (the dependency only needs *some* output elements).
-                depth, uniq = seg_depth_with_uniq_ell_permuted(
+                # The parts form (the production serving shape); the
+                # chained dependency folds every part in so none is
+                # dead-code-eliminated.
+                dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
                     dg, mask, pallas=on_tpu
+                )
+                depth = dl
+                # One-element update: consumes the heavy parts (no DCE)
+                # without re-materializing an N-sized vector.
+                uniq = ul if dh is None else ul.at[0].add(
+                    dh[-1] + uh[-1]
                 )
             elif impl == "cross":
                 depth, uniq = seg_depth_with_uniq_cross(

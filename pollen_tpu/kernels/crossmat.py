@@ -99,7 +99,9 @@ def _unpack_tile(t: jax.Array) -> jax.Array:
     )
 
 
-def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble):
+def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble, rotate):
+    from jax.experimental import pallas as pl
+
     if nibble:
         a = _unpack_tile(a_ref[:])  # (P_pad, width) bf16
     else:
@@ -111,9 +113,22 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Only lane-row 0 of the dot carries the mask's result; writing
-    # just that row saves 7/8ths of the output traffic.
-    depth_ref[:] = depth[:1, :].astype(jnp.int32)
+
+    def _store(ref, row):
+        # Only lane-row 0 of the dot carries the mask's result. With
+        # ``rotate``, eight consecutive grid steps share one (8, width)
+        # output block (index map i // 8) and each writes its own
+        # sublane — a fully-populated store, where the plain (1, width)
+        # store pays 8x sublane write amplification on the hardware
+        # (measured 25.6 -> 9.7 us/query on the ELL kernel's identical
+        # pattern).
+        if rotate:
+            r = pl.program_id(0) % 8
+            ref[pl.dslice(r, 1), :] = row
+        else:
+            ref[:] = row
+
+    _store(depth_ref, depth[:1, :].astype(jnp.int32))
     if uniq_ref is None:
         # Depth-only variant: skipping the indicator skips the one
         # full-size VPU op that does not hide under the DMA (the
@@ -129,7 +144,7 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    uniq_ref[:] = uniq[:1, :].astype(jnp.int32)
+    _store(uniq_ref, uniq[:1, :].astype(jnp.int32))
 
 
 @functools.partial(
@@ -151,7 +166,18 @@ def masked_cross_depth(
     rows, n_pad = cross.shape
     p_pad = rows * 2 if nibble else rows
     width = pick_seg_block(p_pad, n_pad)
+    # Prefer a (possibly narrower) width whose tile count is a multiple
+    # of 8: eight grid steps then share one fully-populated (8, width)
+    # output block (see _store) instead of paying 8x sublane write
+    # amplification on (1, width) stores.
+    w2 = width
+    while w2 > LANES and (n_pad // w2) % 8:
+        w2 //= 2
+    rotate = (n_pad // w2) % 8 == 0
+    if rotate:
+        width = w2
     assert n_pad % width == 0 and p_pad % 8 == 0
+    g = n_pad // width
     if nibble:
         mask = fold_mask(mask)
     # The mask stays bf16: an (8, P) int8 block breaks the sublane
@@ -163,24 +189,31 @@ def masked_cross_depth(
     a_block = pl.BlockSpec(
         (rows, width), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    o_block = pl.BlockSpec(
-        (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
+    if rotate:
+        o_block = pl.BlockSpec(
+            (8, width), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((g, width), jnp.int32)
+    else:
+        o_block = pl.BlockSpec(
+            (1, width), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((1, n_pad), jnp.int32)
     out_specs = (o_block, o_block) if uniq else o_block
-    out_shape = jax.ShapeDtypeStruct((1, n_pad), jnp.int32)
     # Trace with x64 off: int64 grid literals break Mosaic lowering.
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            functools.partial(_kernel, nibble=nibble),
-            grid=(n_pad // width,),
+            functools.partial(_kernel, nibble=nibble, rotate=rotate),
+            grid=(g,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), a_block],
             out_specs=out_specs,
             out_shape=(out_shape, out_shape) if uniq else out_shape,
             interpret=interpret,
         )(m, cross)
+    # The rotated (g, width) output reshapes to natural column order.
     if uniq:
-        return out[0][0], out[1][0]
-    return out[0]
+        return out[0].reshape(-1), out[1].reshape(-1)
+    return out.reshape(-1)
 
 
 def unpack_cross(cross: jax.Array) -> jax.Array:

@@ -182,19 +182,22 @@ def seg_depth_with_uniq_cross(
 
 
 @functools.partial(jax.jit, static_argnames=("pallas",))
-def seg_depth_with_uniq_ell_permuted(
+def seg_depth_with_uniq_ell_parts(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
-) -> Tuple[jax.Array, jax.Array]:
-    """Masked (depth, uniq) via the split ELL run index, in the index's
-    own ``ell_order`` (light segments first, then heavy).
+):
+    """Masked (depth, uniq) via the split ELL run index, as the raw
+    (light, heavy) part vectors — the form production serving consumes
+    (the sharded query returns the same parts, and host rendering
+    composes them anyway, so the device never pays the concatenate).
 
     Light columns: a short int32 reduction over K slots per segment
     with bitwise mask-word selection — no gathers, no boundary stage,
-    ~4 B of HBM per run (kernels/ellscan.py). Heavy columns: one MXU
-    pass over their nibble-packed sub-matrix (kernels/crossmat.py) plus
-    the tiny int32 clip residual. The two results *concatenate* — the
-    permuted layout replaces the scatter/gather placement entirely.
-    When the graph has no heavy segments the order is the identity."""
+    ~4 B of HBM per run (kernels/ellscan.py, tall layout). Heavy
+    columns: one MXU pass over their nibble-packed sub-matrix
+    (kernels/crossmat.py) plus the tiny int32 clip residual.
+
+    Returns ``(depth_l, uniq_l, depth_h, uniq_h)``; the heavy pair is
+    None when the graph has no heavy split."""
     from ..kernels.crossmat import masked_cross_depth, masked_cross_depth_xla
     from ..kernels.ellscan import (
         masked_ell_depth_tall,
@@ -210,9 +213,7 @@ def seg_depth_with_uniq_ell_permuted(
             unfold_ell_tall(dg.cross_ell, dg.ell_k), m
         )
     if not dg.ell_heavy.size:
-        return depth[: dg.num_segments], uniq[: dg.num_segments]
-    nl = dg.ell_num_light
-    nh = dg.num_segments - nl
+        return depth, uniq, None, None
     p_pad = dg.ell_heavy.shape[0] * 2
     mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
     cfn = masked_cross_depth if pallas else masked_cross_depth_xla
@@ -226,9 +227,26 @@ def seg_depth_with_uniq_ell_permuted(
         # scatter; sentinel-padded residual columns contribute zero.
         k3 = dg.ell_heavy_res.shape[1]
         dh = dh.at[:k3].add(fix)
+    return depth, uniq, dh, uh
+
+
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def seg_depth_with_uniq_ell_permuted(
+    dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked (depth, uniq) in the index's own ``ell_order`` (light
+    segments first, then heavy) as single vectors — the parts op plus
+    one device concatenate; prefer the parts form on hot paths."""
+    dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+        dg, path_mask, pallas=pallas
+    )
+    if dh is None:
+        return dl[: dg.num_segments], ul[: dg.num_segments]
+    nl = dg.ell_num_light
+    nh = dg.num_segments - nl
     return (
-        jnp.concatenate([depth[:nl], dh[:nh]]),
-        jnp.concatenate([uniq[:nl], uh[:nh]]),
+        jnp.concatenate([dl[:nl], dh[:nh]]),
+        jnp.concatenate([ul[:nl], uh[:nh]]),
     )
 
 
@@ -236,20 +254,39 @@ def seg_depth_with_uniq_ell(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """Masked (depth, uniq) via the split ELL index, in natural segment
-    order. Host-side un-permutation (a numpy take over the ingest-known
-    ``ell_order``): production serving either consumes the permuted
-    device vectors directly or renders host-side anyway, so the device
-    never pays a gather."""
-    d, u = seg_depth_with_uniq_ell_permuted(dg, path_mask, pallas=pallas)
-    if not dg.ell_order.shape[0]:
-        return d, u
-    order = np.asarray(jax.device_get(dg.ell_order))
+    order. Host-side composition + un-permutation (numpy over the
+    ingest-known ``ell_order``): production serving either consumes the
+    permuted device parts directly or renders host-side anyway, so the
+    device pays neither the concatenate nor a gather."""
+    dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+        dg, path_mask, pallas=pallas
+    )
     n = dg.num_segments
+    if dh is None:
+        if not dg.ell_order.shape[0]:
+            return dl[:n], ul[:n]
+        d = np.asarray(jax.device_get(dl))[:n]
+        u = np.asarray(jax.device_get(ul))[:n]
+    else:
+        nl = dg.ell_num_light
+        d = np.concatenate(
+            [
+                np.asarray(jax.device_get(dl))[:nl],
+                np.asarray(jax.device_get(dh))[: n - nl],
+            ]
+        )
+        u = np.concatenate(
+            [
+                np.asarray(jax.device_get(ul))[:nl],
+                np.asarray(jax.device_get(uh))[: n - nl],
+            ]
+        )
+        if not dg.ell_order.shape[0]:
+            return jnp.asarray(d), jnp.asarray(u)
+    order = np.asarray(jax.device_get(dg.ell_order))
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
-    d_nat = np.asarray(jax.device_get(d))[:n][inv]
-    u_nat = np.asarray(jax.device_get(u))[:n][inv]
-    return jnp.asarray(d_nat), jnp.asarray(u_nat)
+    return jnp.asarray(d[inv]), jnp.asarray(u[inv])
 
 
 # Cost-model constants, in "equivalent streamed bytes" (time at the

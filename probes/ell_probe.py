@@ -91,11 +91,38 @@ def main():
             flush=True,
         )
 
+    elif stage == "heavyk":
+        # The heavy nibble sub-matrix pass alone (rotated crossmat
+        # kernel): isolates how much of the full split query's gap over
+        # the light kernel is heavy work vs inter-kernel glue.
+        from pollen_tpu.kernels.crossmat import masked_cross_depth
+
+        p_pad = dg.ell_heavy.shape[0] * 2
+
+        def q(mask, heavy):
+            return masked_cross_depth(heavy, mask, nibble=True)
+
+        mask = jnp.ones(p_pad, jnp.int32)
+        t0 = time.perf_counter()
+        per = time_chained(q, (mask, dg.ell_heavy))
+        print(
+            f"heavyk: {per * 1e6:.1f} us/query "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "ell":
-        from pollen_tpu.ops.depth import seg_depth_with_uniq_ell_permuted
+        from pollen_tpu.ops.depth import seg_depth_with_uniq_ell_parts
 
         def q(mask, dg):
-            return seg_depth_with_uniq_ell_permuted(dg, mask, pallas=True)
+            # The parts form (production serving shape); fold the heavy
+            # parts in with a one-element update so nothing is DCE'd.
+            dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+                dg, mask, pallas=True
+            )
+            if dh is None:
+                return dl, ul
+            return dl, ul.at[0].add(dh[-1] + uh[-1])
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
         t0 = time.perf_counter()

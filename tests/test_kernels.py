@@ -224,6 +224,41 @@ def test_ell_matches_xla(graph_path):
     np.testing.assert_array_equal(np.array(bits, bool), mask)
 
 
+def test_cross_rotated_output_blocks():
+    """Column counts whose tile count divides 8 use the rotated
+    (8, width) shared output block; results must match the XLA dots in
+    natural column order (both nibble and int8 layouts)."""
+    from pollen_tpu.kernels.crossmat import (
+        masked_cross_depth,
+        masked_cross_depth_xla,
+    )
+
+    rng = np.random.default_rng(53)
+    n_pad, p_pad = 1024, 128  # width falls to 128 -> 8 tiles: rotate
+    for nibble in (True, False):
+        if nibble:
+            a = rng.integers(0, 256, (p_pad // 2, n_pad)).astype(np.uint8)
+        else:
+            a = rng.integers(0, 100, (p_pad, n_pad)).astype(np.int8)
+        mask = rng.integers(0, 2, p_pad).astype(np.int32)
+        d_p, u_p = masked_cross_depth(
+            jnp.asarray(a), jnp.asarray(mask), nibble=nibble, interpret=True
+        )
+        d_x, u_x = masked_cross_depth_xla(
+            jnp.asarray(a), jnp.asarray(mask), nibble=nibble
+        )
+        np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_p), np.asarray(u_x))
+        d_only = masked_cross_depth(
+            jnp.asarray(a),
+            jnp.asarray(mask),
+            nibble=nibble,
+            uniq=False,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_x))
+
+
 def test_ell_tall_layout_matches_flat():
     """The tall (sublane-folded) ELL layout returns the same depth/uniq
     as the flat layout, in natural column order."""
