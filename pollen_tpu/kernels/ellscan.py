@@ -320,6 +320,167 @@ def masked_ell_depth_tall(
     return depth.reshape(-1), uniq.reshape(-1)
 
 
+# --- fused split kernel ----------------------------------------------
+# The split query's two passes — the tall light reduction and the heavy
+# nibble sub-matrix dots — measured 9.7 us and 11.2 us alone but 19.3
+# us back-to-back: separate pallas_calls serialize. One call with a
+# heterogeneous grid (light steps first, then heavy steps) overlaps
+# the phases' DMA and VPU work and drops a kernel launch. Inactive
+# phases leave their output blocks untouched (clamped index maps keep
+# each block resident until its writer runs).
+
+
+def _kernel_split(
+    mask_ref,  # SMEM int32[n_words] packed mask words
+    m_ref,  # VMEM bf16 (8, P_pad) folded mask (row 0)
+    ell_ref,  # (K*SUB, TALL_W) tall light block (clamped past gl)
+    h_ref,  # (P_pad/2, hw) heavy packed block (clamped before gl)
+    ld_ref,
+    lu_ref,  # light outputs (SUB, TALL_W)
+    hd_ref,
+    hu_ref,  # heavy outputs (8, hw), row-rotated
+    *,
+    n_words,
+    k,
+    gl,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i < gl)
+    def _light():
+        a = ell_ref[:]
+        words = [mask_ref[j] for j in range(n_words)]
+        depth = jnp.zeros((SUB, TALL_W), jnp.int32)
+        uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
+        for kk in range(k):
+            v = a[kk * SUB : (kk + 1) * SUB]
+            pid = (v >> COUNT_BITS) & 0xFFFF
+            cnt = v & COUNT_MAX
+            w32 = _select_word(pid >> 5, words)
+            bit = (w32 >> (pid & 31)) & 1
+            depth = depth + bit * cnt
+            uniq = uniq + bit * (v != 0).astype(jnp.int32)
+        ld_ref[:] = depth
+        lu_ref[:] = uniq
+
+    @pl.when(i >= gl)
+    def _heavy():
+        from .crossmat import _unpack_tile
+
+        a = _unpack_tile(h_ref[:])  # (P_pad, hw) bf16
+        m = m_ref[:]
+        depth = jax.lax.dot_general(
+            m,
+            a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ind = jnp.minimum(a, jnp.bfloat16(1))
+        uniq = jax.lax.dot_general(
+            m,
+            ind,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        r = (i - gl) % 8
+        hd_ref[pl.dslice(r, 1), :] = depth[:1, :].astype(jnp.int32)
+        hu_ref[pl.dslice(r, 1), :] = uniq[:1, :].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def masked_ell_split_depth(
+    ell_tall: jax.Array,  # int32[G*K*SUB, TALL_W] (pack_ell_tall)
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] nibble-packed
+    mask: jax.Array,  # int32/bool[>=P] (0/1), original path order
+    k: int,
+    interpret: bool = False,
+):
+    """Fused split query: ``(depth_l, uniq_l, depth_h, uniq_h)`` in one
+    Pallas pass (light in natural column order, heavy likewise)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .crossmat import fold_mask, pick_seg_block
+
+    rows = ell_tall.shape[0]
+    assert ell_tall.shape[1] == TALL_W and rows % (k * SUB) == 0
+    gl = rows // (k * SUB)
+    h_rows, nh_pad = heavy.shape
+    p_pad = h_rows * 2
+    # Heavy tile width: widest whose step count is a multiple of 8
+    # (the row-rotated output pattern; crossmat.py).
+    hw = pick_seg_block(p_pad, nh_pad)
+    while hw > LANES and (nh_pad // hw) % 8:
+        hw //= 2
+    assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0, (
+        "heavy column count must give a step count divisible by 8 "
+        "(device.py pads nh_pad to SEG_BLOCK multiples)"
+    )
+    gh = nh_pad // hw
+
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+    mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
+        mask.astype(jnp.int32)
+    )
+    m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+        fold_mask(mp).astype(jnp.bfloat16)
+    )
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    ell_block = pl.BlockSpec(
+        (k * SUB, TALL_W),
+        lambda i: (clamp(i, 0, gl - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_block = pl.BlockSpec(
+        (h_rows, hw),
+        lambda i: (0, clamp(i - gl, 0, gh - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    lo_block = pl.BlockSpec(
+        (SUB, TALL_W),
+        lambda i: (clamp(i, 0, gl - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    ho_block = pl.BlockSpec(
+        (8, hw),
+        lambda i: (clamp(i - gl, 0, gh - 1) // 8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    with jax.enable_x64(False):
+        ld, lu, hd, hu = pl.pallas_call(
+            functools.partial(
+                _kernel_split, n_words=n_words, k=k, gl=gl
+            ),
+            grid=(gl + gh,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                ell_block,
+                h_block,
+            ],
+            out_specs=(lo_block, lo_block, ho_block, ho_block),
+            out_shape=(
+                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32),
+                jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32),
+            ),
+            interpret=interpret,
+        )(words, m, ell_tall, heavy)
+    return (
+        ld.reshape(-1),
+        lu.reshape(-1),
+        hd.reshape(-1),
+        hu.reshape(-1),
+    )
+
+
 @jax.jit
 def masked_ell_depth_xla(
     ell: jax.Array, mask: jax.Array

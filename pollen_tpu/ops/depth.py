@@ -202,22 +202,48 @@ def seg_depth_with_uniq_ell_parts(
     from ..kernels.ellscan import (
         masked_ell_depth_tall,
         masked_ell_depth_xla,
+        masked_ell_split_depth,
         unfold_ell_tall,
     )
 
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
-    if pallas:
-        depth, uniq = masked_ell_depth_tall(dg.cross_ell, m, k=dg.ell_k)
-    else:
-        depth, uniq = masked_ell_depth_xla(
-            unfold_ell_tall(dg.cross_ell, dg.ell_k), m
-        )
     if not dg.ell_heavy.size:
+        if pallas:
+            depth, uniq = masked_ell_depth_tall(
+                dg.cross_ell, m, k=dg.ell_k
+            )
+        else:
+            depth, uniq = masked_ell_depth_xla(
+                unfold_ell_tall(dg.cross_ell, dg.ell_k), m
+            )
         return depth, uniq, None, None
-    p_pad = dg.ell_heavy.shape[0] * 2
-    mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
-    cfn = masked_cross_depth if pallas else masked_cross_depth_xla
-    dh, uh = cfn(dg.ell_heavy, mp, nibble=True)
+    # The fused pass needs the heavy step count divisible by 8 (the
+    # row-rotated output); SEG_BLOCK-padded heavy columns (big graphs)
+    # always are, 128-padded ones (tiny graphs) may not be.
+    fusable = dg.ell_heavy.shape[1] % 8192 == 0
+    if pallas and fusable:
+        # One fused Pallas pass over both halves: the separate light /
+        # heavy calls serialize (measured 9.7 + 11.2 us alone vs 19.3
+        # us back-to-back at bench shape).
+        depth, uniq, dh, uh = masked_ell_split_depth(
+            dg.cross_ell, dg.ell_heavy, m, k=dg.ell_k
+        )
+        mp = jnp.zeros(
+            dg.ell_heavy.shape[0] * 2, jnp.int32
+        ).at[: dg.num_paths].set(m)
+    else:
+        if pallas:
+            depth, uniq = masked_ell_depth_tall(
+                dg.cross_ell, m, k=dg.ell_k
+            )
+        else:
+            depth, uniq = masked_ell_depth_xla(
+                unfold_ell_tall(dg.cross_ell, dg.ell_k), m
+            )
+        p_pad = dg.ell_heavy.shape[0] * 2
+        mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
+        cfn = masked_cross_depth if pallas else masked_cross_depth_xla
+        dh, uh = cfn(dg.ell_heavy, mp, nibble=True)
     if dg.ell_heavy_res_col.size:
         fix = jnp.sum(
             dg.ell_heavy_res * mp[:, None], axis=0, dtype=jnp.int32

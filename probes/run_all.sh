@@ -34,11 +34,12 @@ roofline_stage() {
 # call pays the transfer at ~30-90 MB/s (the 16.7 MB crossing matrix
 # alone can take 200-550 s; the scan stages upload ~34 MB).
 roofline_stage
-run_stage probes/ell_probe.py ellk "ellk:" 600
-run_stage probes/ell_probe.py crossd "crossd:" 900
-run_stage probes/ell_probe.py ell "ell:" 600
-run_stage probes/ell_probe.py ellok "ellok:" 1500
-run_stage probes/ell_probe.py scanb "scanb:" 1500
-run_stage probes/ell_probe.py scanx "scanx:" 1500
+run_stage probes/ell_probe.py ellk "ellk:" 600      # tall light kernel
+run_stage probes/ell_probe.py heavyk "heavyk:" 600  # heavy nibble pass
+run_stage probes/ell_probe.py ell "ell:" 900        # full split query
+run_stage probes/ell_probe.py ellok "ellok:" 1500   # on-device exactness
+run_stage probes/ell_probe.py crossd "crossd:" 900  # dense depth-only
+run_stage probes/ell_probe.py scanb "scanb:" 1500   # scan + planned bnd
+run_stage probes/ell_probe.py scanx "scanx:" 1500   # scan + XLA bnd
 run_stage probes/ell_probe.py scatter "scatter: done" 600
 echo "[$(date +%H:%M:%S)] ALL DONE" >> "$OUT"

@@ -301,6 +301,56 @@ def test_ell_tall_layout_matches_flat():
         np.testing.assert_array_equal(np.asarray(u_t), np.asarray(u_x))
 
 
+def test_ell_split_fused_kernel():
+    """The fused light+heavy split kernel (interpret mode) matches the
+    separate XLA pieces on both halves."""
+    from pollen_tpu.kernels.crossmat import masked_cross_depth_xla
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        masked_ell_depth_xla,
+        masked_ell_split_depth,
+        pack_ell,
+        pack_ell_tall,
+    )
+
+    rng = np.random.default_rng(59)
+    k, nl, nh_pad, p = 2, SUB * TALL_W, 8192, 100
+    # Light half: random runs, at most k per column.
+    run_col = np.sort(rng.integers(0, nl, nl))
+    slot = np.arange(run_col.size) - np.searchsorted(
+        run_col, run_col, side="left"
+    )
+    keep = slot < k
+    run_col, slot = run_col[keep], slot[keep]
+    run_path = rng.integers(0, p, run_col.size).astype(np.int32)
+    run_count = rng.integers(1, 1000, run_col.size).astype(np.int32)
+    ell = pack_ell(run_path, run_count, run_col, slot, k, nl)
+    tall = pack_ell_tall(ell)
+    # Heavy half: nibble-packed counts (two paths per byte).
+    p_pad = -(-p // 128) * 128
+    heavy = rng.integers(0, 256, (p_pad // 2, nh_pad)).astype(np.uint8)
+
+    mask = rng.integers(0, 2, p).astype(np.int32)
+    dl, ul, dh, uh = masked_ell_split_depth(
+        jnp.asarray(tall),
+        jnp.asarray(heavy),
+        jnp.asarray(mask),
+        k=k,
+        interpret=True,
+    )
+    d_lx, u_lx = masked_ell_depth_xla(jnp.asarray(ell), jnp.asarray(mask))
+    mp = np.zeros(p_pad, np.int32)
+    mp[:p] = mask
+    d_hx, u_hx = masked_cross_depth_xla(
+        jnp.asarray(heavy), jnp.asarray(mp), nibble=True
+    )
+    np.testing.assert_array_equal(np.asarray(dl), np.asarray(d_lx))
+    np.testing.assert_array_equal(np.asarray(ul), np.asarray(u_lx))
+    np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
+    np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
+
+
 def test_ell_heavy_segments_sidecar():
     """Segments with more runs than K slots split into the heavy
     nibble sub-matrix (with clip residual); depth AND uniq exact."""
