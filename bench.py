@@ -324,16 +324,17 @@ def measure_depth(
             if impl == "ell":
                 # The parts form (the production serving shape); the
                 # chained dependency folds every part in so none is
-                # dead-code-eliminated.
-                dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+                # dead-code-eliminated (one-element updates — no
+                # N-sized re-materialization).
+                d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
                     dg, mask, pallas=on_tpu
                 )
-                depth = dl
-                # One-element update: consumes the heavy parts (no DCE)
-                # without re-materializing an N-sized vector.
-                uniq = ul if dh is None else ul.at[0].add(
-                    dh[-1] + uh[-1]
-                )
+                depth = d1
+                uniq = u1
+                if d2 is not None:
+                    uniq = uniq.at[0].add(d2[-1] + u2[-1])
+                if dh is not None:
+                    uniq = uniq.at[1].add(dh[-1] + uh[-1])
             elif impl == "cross":
                 depth, uniq = seg_depth_with_uniq_cross(
                     dg, mask, pallas=on_tpu
@@ -430,7 +431,7 @@ def _emit_result(steps_per_s: float, n_steps: int, roofline) -> None:
 def _bench_bytes_per_step(dg, impl: str, n_steps: int) -> float:
     if impl == "ell":
         return (
-            4.0 * int(dg.cross_ell.size)
+            4.0 * int(dg.cross_ell.size + dg.cross_ell2.size)
             + int(dg.ell_heavy.size)
             + 4.0 * int(dg.ell_heavy_res.size)
         ) / n_steps

@@ -84,6 +84,7 @@ from .flatgfa import GraphArrays
         "cross_res",
         "cross_res_seg",
         "cross_ell",
+        "cross_ell2",
         "ell_order",
         "ell_heavy",
         "ell_heavy_res",
@@ -97,7 +98,10 @@ from .flatgfa import GraphArrays
         "num_paths",
         "cross_nibble",
         "ell_num_light",
+        "ell_num_mid",
+        "ell_num_heavy",
         "ell_k",
+        "ell_k2",
         "bnd_w_rows",
         "bnd_over_tiles",
     ],
@@ -144,21 +148,24 @@ class DeviceGraph:
     cross_res: jax.Array  # int32[P_pad, K_pad] or (0, 0)
     cross_res_seg: jax.Array  # int32[K_pad]
 
-    # ELL-packed run index, split layout (kernels/ellscan.py): *light*
-    # segments (runs fit K slots, counts fit 16 bits) pack K slots per
-    # column, each ``path << 16 | count``; *heavy* segments move whole
-    # to a nibble-packed sub-crossing-matrix over just their columns
-    # (counts clipped at 15 with an int32 clip residual — the crossmat
-    # sidecar scheme recursively applied). Query outputs come back in
-    # the permuted order ``ell_order = [light segs, heavy segs]`` —
-    # pure concatenation, no scatter and no gather; ``ell_order`` is
-    # empty when there are no heavy segments (identity) or no ELL.
+    # ELL-packed run index, tiered split layout (kernels/ellscan.py):
+    # tier-1 segments (runs fit K1 slots, counts fit 16 bits) pack K1
+    # slots per column, each ``path << 16 | count``; tier-2 segments
+    # K2 > K1 slots; the heaviest move whole to a nibble-packed
+    # sub-crossing-matrix over just their columns (counts clipped at 15
+    # with an int32 clip residual — the crossmat sidecar scheme
+    # recursively applied); segments with no crossings at all are the
+    # *empty* class and buy no device work. Query outputs come back in
+    # the permuted order ``ell_order = [tier1, tier2, heavy, empty]`` —
+    # pure concatenation plus an ingest-known zero tail, no scatter and
+    # no gather; ``ell_order`` is empty for the identity split.
     # Stored in the TALL layout (kernels/ellscan.py pack_ell_tall):
     # (G*K*8, 4096) with 8 column-tiles folded into sublanes, so the
     # kernel's output blocks are fully populated (the flat layout's
     # (1, width) stores pad to 8 sublanes on hardware — measured 25.6
     # -> 9.7 us/query at bench shape). ``ell_k`` (static) records K.
-    cross_ell: jax.Array  # int32[G*K*8, 4096] or (0, 0)
+    cross_ell: jax.Array  # int32[G1*K1*8, 4096] or (0, 0) (tier 1)
+    cross_ell2: jax.Array  # int32[G2*K2*8, 4096] or (0, 0) (tier 2)
     ell_order: jax.Array  # int32[N] or (0,)
     ell_heavy: jax.Array  # uint8[P_pad/2, NH_pad] or (0, 0)
     ell_heavy_res: jax.Array  # int32[P_pad, K3_pad] or (0, 0)
@@ -175,11 +182,15 @@ class DeviceGraph:
     num_segments: int
     num_paths: int
     cross_nibble: bool = False
-    # Number of light (non-heavy) segments in the split ELL layout;
-    # equals num_segments when there are no heavy segments.
+    # Class sizes of the tiered split ELL layout: ``ell_order`` is
+    # [tier1, tier2, heavy, empty]; ``ell_num_light`` equals
+    # num_segments for the identity (untiered) split.
     ell_num_light: int = 0
-    # Slot count K of the tall ELL layout (static); 0 = no ELL index.
+    ell_num_mid: int = 0
+    ell_num_heavy: int = 0
+    # Slot counts of the tall tiers (static); 0 = tier absent.
     ell_k: int = 0
+    ell_k2: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
@@ -344,52 +355,62 @@ def build_device_graph(
         cross_res = np.zeros((0, 0), np.int32)
         cross_res_seg = np.zeros(0, np.int32)
 
-    # ELL-packed run index, split layout: the sparse complement of the
-    # dense crossing matrix (kernels/ellscan.py). Light segments (runs
-    # fit K slots) pack into ELL columns; heavy segments move whole to
-    # a nibble sub-matrix over their own columns. Outputs concatenate
-    # in ``ell_order`` — no scatter, no gather. Built when paths fit
-    # the int16 packing and the arrays fit the budget; the query-time
-    # cost model (ops/depth.py) picks the cheapest resident index.
+    # ELL-packed run index, tiered split layout (sliced-ELL style,
+    # kernels/ellscan.py): tier-1 segments (runs fit K1 slots) pack
+    # K1 ELL slots per column; tier-2 segments K2 > K1 slots; the
+    # heaviest move whole to a nibble sub-matrix over their own
+    # columns; segments no path crosses need NO device work at all
+    # (their depth/uniq are zero by construction — about half the
+    # segments in Zipf-crossed graphs). Outputs concatenate in
+    # ``ell_order = [tier1, tier2, heavy, empty]`` — no scatter, no
+    # gather. Built when paths fit the int16 packing and the arrays
+    # fit the budget; the query-time cost model (ops/depth.py) picks
+    # the cheapest resident index.
     ell = np.zeros((0, 0), np.int32)
+    ell2 = np.zeros((0, 0), np.int32)
     ell_order = np.zeros(0, np.int32)
     ell_heavy = np.zeros((0, 0), np.uint8)
     ell_heavy_res = np.zeros((0, 0), np.int32)
     ell_heavy_res_col = np.zeros(0, np.int32)
-    ell_nl = n  # light-segment count (all light when no heavy split)
+    ell_nl = n  # tier-1 count (identity split when no ELL is built)
+    ell_nm = 0  # tier-2 count
+    ell_nh = 0  # heavy count
+    k_ell = k_ell2 = 0
     if (
         s > 0
         and 0 < p < (1 << 16)
         and n > 0
         and cross_matrix != "never"
     ):
-        from .kernels.ellscan import COUNT_MAX, pack_ell, plan_ell
-
         from .kernels.crossmat import SEG_BLOCK
-        from .kernels.ellscan import ELL_BLOCK
+        from .kernels.ellscan import COUNT_MAX, pack_ell, plan_ell_tiers
 
         runs_per_seg = np.bincount(run_seg, minlength=n)
         big_seg = np.zeros(n, bool)
         big_seg[run_seg[run_count > COUNT_MAX]] = True
-        k_ell, heavy_b = plan_ell(runs_per_seg, big_seg, p_pad_m)
-        light_ids = np.flatnonzero(~heavy_b).astype(np.int32)
+        k_ell, k_ell2, t1_b, t2_b, heavy_b = plan_ell_tiers(
+            runs_per_seg, big_seg, p_pad_m
+        )
+        t1_ids = np.flatnonzero(t1_b).astype(np.int32)
+        t2_ids = np.flatnonzero(t2_b).astype(np.int32)
         heavy_ids = np.flatnonzero(heavy_b).astype(np.int32)
-        nl, nh = light_ids.size, heavy_ids.size
-        # Pad column counts to the kernels' wide-tile widths: a column
-        # count only divisible by 128 forces 128-wide Pallas tiles and
-        # an 11x slowdown (measured: 279.8 -> ~30 us/query at bench
-        # shape once both arrays tile at full width).
-        nl_blk = ELL_BLOCK if nl >= ELL_BLOCK else LANES
-        nl_pad = -(-max(nl, 1) // nl_blk) * nl_blk
+        empty_ids = np.flatnonzero(
+            ~t1_b & ~t2_b & ~heavy_b
+        ).astype(np.int32)
+        nl, nm, nh = t1_ids.size, t2_ids.size, heavy_ids.size
+        # Heavy columns pad to the SEG_BLOCK tile (the fused kernel's
+        # rotated output wants a step count divisible by 8; SEG_BLOCK
+        # multiples always are). Tier columns need no width padding:
+        # the tall layout re-pads to its own 8 * 4096 tile.
         nh_blk = SEG_BLOCK if nh >= SEG_BLOCK else LANES
         nh_pad = -(-nh // nh_blk) * nh_blk if nh else 0
-        k3 = 0  # clip-residual columns, counted below
         hv = heavy_b[run_seg]
         over_h = hv & (run_count > CLIP_NIBBLE)
         over_cols = np.unique(run_seg[over_h])
         k3 = -(-over_cols.size // LANES) * LANES if over_cols.size else 0
         ell_bytes = (
-            4 * k_ell * nl_pad
+            4 * k_ell * nl
+            + 4 * k_ell2 * nm
             + (p_pad_m // 2) * nh_pad
             + 4 * p_pad_m * k3
         )
@@ -398,35 +419,51 @@ def build_device_graph(
         # footprint must fit POLLEN_CROSS_BUDGET_MB.
         spent = cross.nbytes + cross_res.nbytes if build_cross else 0
         if nl and (cross_matrix == "always" or ell_bytes <= budget - spent):
-            # Light columns: runs grouped by segment; slot = index in
-            # group (all < K by construction of the split).
+            # Tier slots: runs grouped by segment; slot = index in
+            # group (all < the tier's K by construction of the split).
             seg_starts = np.concatenate(([0], np.cumsum(runs_per_seg)))
             slot = (
                 np.arange(run_seg.size, dtype=np.int64)
                 - seg_starts[run_seg]
             )
-            seg_to_light = np.cumsum(~heavy_b) - 1  # local col per seg
-            lv = ~hv
+            seg_to_t1 = np.cumsum(t1_b) - 1  # local col per segment
+            v1 = t1_b[run_seg]
             ell = pack_ell(
-                run_path[lv],
-                run_count[lv],
-                seg_to_light[run_seg[lv]],
-                slot[lv],
+                run_path[v1],
+                run_count[v1],
+                seg_to_t1[run_seg[v1]],
+                slot[v1],
                 k_ell,
-                nl_pad,
+                max(nl, 1),
             )
+            if nm:
+                seg_to_t2 = np.cumsum(t2_b) - 1
+                v2 = t2_b[run_seg]
+                ell2 = pack_ell(
+                    run_path[v2],
+                    run_count[v2],
+                    seg_to_t2[run_seg[v2]],
+                    slot[v2],
+                    k_ell2,
+                    nm,
+                )
+            else:
+                k_ell2 = 0
+            ell_nl, ell_nm, ell_nh = nl, nm, nh
+            if nm or nh or empty_ids.size:
+                if nh:
+                    # Heavy columns with clip overflow come FIRST in
+                    # the heavy block, so the query's residual fixup is
+                    # a prefix slice-add instead of a scatter.
+                    if over_cols.size:
+                        rest = heavy_ids[~np.isin(heavy_ids, over_cols)]
+                        heavy_ids = np.concatenate(
+                            [over_cols.astype(np.int32), rest]
+                        )
+                ell_order = np.concatenate(
+                    [t1_ids, t2_ids, heavy_ids, empty_ids]
+                )
             if nh:
-                ell_nl = nl
-                # Heavy columns with clip overflow come FIRST in the
-                # heavy block, so the query's residual fixup is a
-                # prefix slice-add instead of a scatter (measured
-                # 5.9 us even for 256 scattered ids).
-                if over_cols.size:
-                    rest = heavy_ids[~np.isin(heavy_ids, over_cols)]
-                    heavy_ids = np.concatenate(
-                        [over_cols.astype(np.int32), rest]
-                    )
-                ell_order = np.concatenate([light_ids, heavy_ids])
                 seg_to_heavy = np.zeros(n, np.int64)
                 seg_to_heavy[heavy_ids] = np.arange(nh)
                 h_path = run_path[hv]
@@ -499,14 +536,17 @@ def build_device_graph(
         bnd_over_bounds = np.zeros((0, 128), np.int32)
         bnd_w_rows = 0
 
-    # Fold the light ELL slots into the tall layout the production
-    # kernel consumes (kernels/ellscan.py masked_ell_depth_tall).
-    ell_k = 0
+    # Fold the tier slots into the tall layout the production kernel
+    # consumes (kernels/ellscan.py masked_ell_depth_tall).
+    ell_k = ell_k2 = 0
     if ell.size:
         from .kernels.ellscan import pack_ell_tall
 
         ell_k = int(ell.shape[0])
         ell = pack_ell_tall(ell)
+        if ell2.size:
+            ell_k2 = int(ell2.shape[0])
+            ell2 = pack_ell_tall(ell2)
 
     # Path step-span boundaries (step spans are contiguous in path order).
     path_bounds = np.concatenate(
@@ -547,6 +587,7 @@ def build_device_graph(
         cross_res=put(jnp.asarray(cross_res)),
         cross_res_seg=put(jnp.asarray(cross_res_seg)),
         cross_ell=put(jnp.asarray(ell)),
+        cross_ell2=put(jnp.asarray(ell2)),
         ell_order=put(jnp.asarray(ell_order)),
         ell_heavy=put(jnp.asarray(ell_heavy)),
         ell_heavy_res=put(jnp.asarray(ell_heavy_res)),
@@ -558,7 +599,10 @@ def build_device_graph(
         num_paths=p,
         cross_nibble=use_nibble,
         ell_num_light=ell_nl,
+        ell_num_mid=ell_nm,
+        ell_num_heavy=ell_nh,
         ell_k=ell_k,
+        ell_k2=ell_k2,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
     )

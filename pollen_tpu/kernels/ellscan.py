@@ -45,6 +45,60 @@ COUNT_BITS = 16
 COUNT_MAX = (1 << COUNT_BITS) - 1
 
 
+# Measured equivalent-streamed-byte weights (probes/RESULTS.txt, bench
+# shape): a tall ELL slot costs ~12 equiv B (4 B DMA + the VPU select
+# chain), a dense nibble heavy column ~1.75 equiv B per path row (the
+# unpack VPU work dominates its 0.5 B/cell DMA).
+C_SLOT = 12.0
+C_HEAVY_PER_PATH = 1.75
+
+
+def plan_ell_tiers(
+    runs_per_seg: np.ndarray,
+    big_seg: np.ndarray,
+    p_pad: int,
+) -> Tuple[int, int, np.ndarray, np.ndarray]:
+    """Three-way split (sliced-ELL style): tier-1 columns get K1 slots,
+    tier-2 columns K2 > K1 slots, the rest go dense ("heavy"). Crossing
+    counts follow a Zipf law, so one small K wastes dense work on the
+    mid-popularity segments — a second tier measured ~30% off the whole
+    query at bench shape. Minimizes the measured equivalent cost;
+    Segments no path crosses (runs == 0) are excluded from every class
+    — their depth/uniq are identically zero, known at ingest, so they
+    buy no device work at all (~half the bench graph's segments).
+
+    Returns ``(k1, k2, tier1_mask, tier2_mask, heavy_mask)`` with
+    ``k2 == 0`` (and an all-false tier2) when a middle tier does not
+    pay; the remainder (``~t1 & ~t2 & ~heavy``) is the empty class."""
+    c_heavy = C_HEAVY_PER_PATH * p_pad
+    crossed = runs_per_seg > 0
+    valid = ~big_seg & crossed
+    best = None
+    for k1 in (1, 2, 4, 8, 16):
+        t1 = valid & (runs_per_seg <= k1)
+        n1 = int(t1.sum())
+        for k2 in (0, k1 * 2, k1 * 4, k1 * 8):
+            if k2 > 32:
+                continue
+            t2 = (
+                valid & ~t1 & (runs_per_seg <= k2)
+                if k2
+                else np.zeros_like(t1)
+            )
+            n2 = int(t2.sum())
+            nh = int(crossed.sum()) - n1 - n2
+            cost = (
+                C_SLOT * k1 * n1
+                + C_SLOT * k2 * n2
+                + c_heavy * nh
+            )
+            if best is None or cost < best[0]:
+                best = (cost, k1, k2, t2, t1)
+    _, k1, k2, t2, t1 = best
+    heavy = crossed & ~t1 & ~t2
+    return k1, k2, t1, t2, heavy
+
+
 def plan_ell(
     runs_per_seg: np.ndarray,
     big_seg: np.ndarray,
@@ -387,6 +441,196 @@ def _kernel_split(
         r = (i - gl) % 8
         hd_ref[pl.dslice(r, 1), :] = depth[:1, :].astype(jnp.int32)
         hu_ref[pl.dslice(r, 1), :] = uniq[:1, :].astype(jnp.int32)
+
+
+def _kernel_split3(
+    mask_ref,
+    m_ref,
+    ell_ref,
+    ell2_ref,
+    h_ref,
+    ld_ref,
+    lu_ref,
+    md_ref,
+    mu_ref,
+    hd_ref,
+    hu_ref,
+    *,
+    n_words,
+    k,
+    k2,
+    gl,
+    g2,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    def tier(ref, d_ref, u_ref, kk_slots):
+        a = ref[:]
+        words = [mask_ref[j] for j in range(n_words)]
+        depth = jnp.zeros((SUB, TALL_W), jnp.int32)
+        uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
+        for kk in range(kk_slots):
+            v = a[kk * SUB : (kk + 1) * SUB]
+            pid = (v >> COUNT_BITS) & 0xFFFF
+            cnt = v & COUNT_MAX
+            w32 = _select_word(pid >> 5, words)
+            bit = (w32 >> (pid & 31)) & 1
+            depth = depth + bit * cnt
+            uniq = uniq + bit * (v != 0).astype(jnp.int32)
+        d_ref[:] = depth
+        u_ref[:] = uniq
+
+    @pl.when(i < gl)
+    def _tier1():
+        tier(ell_ref, ld_ref, lu_ref, k)
+
+    @pl.when(jnp.logical_and(i >= gl, i < gl + g2))
+    def _tier2():
+        tier(ell2_ref, md_ref, mu_ref, k2)
+
+    @pl.when(i >= gl + g2)
+    def _heavy():
+        from .crossmat import _unpack_tile
+
+        a = _unpack_tile(h_ref[:])
+        m = m_ref[:]
+        depth = jax.lax.dot_general(
+            m,
+            a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ind = jnp.minimum(a, jnp.bfloat16(1))
+        uniq = jax.lax.dot_general(
+            m,
+            ind,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        r = (i - gl - g2) % 8
+        hd_ref[pl.dslice(r, 1), :] = depth[:1, :].astype(jnp.int32)
+        hu_ref[pl.dslice(r, 1), :] = uniq[:1, :].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k2", "interpret"))
+def masked_ell_split3_depth(
+    ell_tall: jax.Array,  # int32[G1*K*SUB, TALL_W] tier-1 slots
+    ell2_tall: jax.Array,  # int32[G2*K2*SUB, TALL_W] tier-2 slots
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] nibble-packed
+    mask: jax.Array,  # int32/bool[>=P] (0/1), original path order
+    k: int,
+    k2: int,
+    interpret: bool = False,
+):
+    """Fused three-phase split query: tier-1 slots, tier-2 slots, then
+    the dense heavy block, all in one Pallas pass. Returns
+    ``(d1, u1, d2, u2, dh, uh)`` — each tier in natural column order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .crossmat import fold_mask, pick_seg_block
+
+    assert ell_tall.shape[1] == TALL_W and ell2_tall.shape[1] == TALL_W
+    gl = ell_tall.shape[0] // (k * SUB)
+    g2 = ell2_tall.shape[0] // (k2 * SUB)
+    h_rows, nh_pad = heavy.shape
+    p_pad = h_rows * 2
+    hw = pick_seg_block(p_pad, nh_pad)
+    while hw > LANES and (nh_pad // hw) % 8:
+        hw //= 2
+    assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0
+    gh = nh_pad // hw
+
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+    mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
+        mask.astype(jnp.int32)
+    )
+    m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+        fold_mask(mp).astype(jnp.bfloat16)
+    )
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    specs = dict(
+        ell=pl.BlockSpec(
+            (k * SUB, TALL_W),
+            lambda i: (clamp(i, 0, gl - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        ell2=pl.BlockSpec(
+            (k2 * SUB, TALL_W),
+            lambda i: (clamp(i - gl, 0, g2 - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        h=pl.BlockSpec(
+            (h_rows, hw),
+            lambda i: (0, clamp(i - gl - g2, 0, gh - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        lo=pl.BlockSpec(
+            (SUB, TALL_W),
+            lambda i: (clamp(i, 0, gl - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        mo=pl.BlockSpec(
+            (SUB, TALL_W),
+            lambda i: (clamp(i - gl, 0, g2 - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        ho=pl.BlockSpec(
+            (8, hw),
+            lambda i: (clamp(i - gl - g2, 0, gh - 1) // 8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    with jax.enable_x64(False):
+        d1, u1, d2, u2, dh, uh = pl.pallas_call(
+            functools.partial(
+                _kernel_split3,
+                n_words=n_words,
+                k=k,
+                k2=k2,
+                gl=gl,
+                g2=g2,
+            ),
+            grid=(gl + g2 + gh,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                specs["ell"],
+                specs["ell2"],
+                specs["h"],
+            ],
+            out_specs=(
+                specs["lo"],
+                specs["lo"],
+                specs["mo"],
+                specs["mo"],
+                specs["ho"],
+                specs["ho"],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((g2 * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((g2 * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((gh, hw), jnp.int32),
+                jax.ShapeDtypeStruct((gh, hw), jnp.int32),
+            ),
+            interpret=interpret,
+        )(words, m, ell_tall, ell2_tall, heavy)
+    return (
+        d1.reshape(-1),
+        u1.reshape(-1),
+        d2.reshape(-1),
+        u2.reshape(-1),
+        dh.reshape(-1),
+        uh.reshape(-1),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

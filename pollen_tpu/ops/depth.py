@@ -185,66 +185,78 @@ def seg_depth_with_uniq_cross(
 def seg_depth_with_uniq_ell_parts(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
 ):
-    """Masked (depth, uniq) via the split ELL run index, as the raw
-    (light, heavy) part vectors — the form production serving consumes
+    """Masked (depth, uniq) via the tiered split ELL run index, as the
+    raw per-class part vectors — the form production serving consumes
     (the sharded query returns the same parts, and host rendering
     composes them anyway, so the device never pays the concatenate).
 
-    Light columns: a short int32 reduction over K slots per segment
+    Tier columns: short int32 reductions over K1/K2 slots per segment
     with bitwise mask-word selection — no gathers, no boundary stage,
     ~4 B of HBM per run (kernels/ellscan.py, tall layout). Heavy
     columns: one MXU pass over their nibble-packed sub-matrix
-    (kernels/crossmat.py) plus the tiny int32 clip residual.
+    (kernels/crossmat.py) plus the tiny int32 clip residual. The empty
+    class (segments no path crosses) contributes identical zeros known
+    at ingest — no part at all.
 
-    Returns ``(depth_l, uniq_l, depth_h, uniq_h)``; the heavy pair is
-    None when the graph has no heavy split."""
+    Returns ``(d1, u1, d2, u2, dh, uh)``; the tier-2 and heavy pairs
+    are None when the class is absent."""
     from ..kernels.crossmat import masked_cross_depth, masked_cross_depth_xla
     from ..kernels.ellscan import (
         masked_ell_depth_tall,
         masked_ell_depth_xla,
+        masked_ell_split3_depth,
         masked_ell_split_depth,
         unfold_ell_tall,
     )
 
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
-    if not dg.ell_heavy.size:
-        if pallas:
-            depth, uniq = masked_ell_depth_tall(
-                dg.cross_ell, m, k=dg.ell_k
-            )
-        else:
-            depth, uniq = masked_ell_depth_xla(
-                unfold_ell_tall(dg.cross_ell, dg.ell_k), m
-            )
-        return depth, uniq, None, None
+    has_mid = dg.cross_ell2.size > 0
+    has_heavy = dg.ell_heavy.size > 0
     # The fused pass needs the heavy step count divisible by 8 (the
     # row-rotated output); SEG_BLOCK-padded heavy columns (big graphs)
     # always are, 128-padded ones (tiny graphs) may not be.
-    fusable = dg.ell_heavy.shape[1] % 8192 == 0
-    if pallas and fusable:
-        # One fused Pallas pass over both halves: the separate light /
-        # heavy calls serialize (measured 9.7 + 11.2 us alone vs 19.3
-        # us back-to-back at bench shape).
-        depth, uniq, dh, uh = masked_ell_split_depth(
+    fusable = has_heavy and dg.ell_heavy.shape[1] % 8192 == 0
+
+    def tier1():
+        if pallas:
+            return masked_ell_depth_tall(dg.cross_ell, m, k=dg.ell_k)
+        return masked_ell_depth_xla(
+            unfold_ell_tall(dg.cross_ell, dg.ell_k), m
+        )
+
+    def tier2():
+        if pallas:
+            return masked_ell_depth_tall(dg.cross_ell2, m, k=dg.ell_k2)
+        return masked_ell_depth_xla(
+            unfold_ell_tall(dg.cross_ell2, dg.ell_k2), m
+        )
+
+    d2 = u2 = dh = uh = None
+    if pallas and fusable and has_mid:
+        # One fused Pallas pass over all three classes: separate calls
+        # serialize (measured 9.7 + 11.2 us alone vs 19.3 us
+        # back-to-back for the two-phase form at bench shape).
+        d1, u1, d2, u2, dh, uh = masked_ell_split3_depth(
+            dg.cross_ell, dg.cross_ell2, dg.ell_heavy, m,
+            k=dg.ell_k, k2=dg.ell_k2,
+        )
+    elif pallas and fusable:
+        d1, u1, dh, uh = masked_ell_split_depth(
             dg.cross_ell, dg.ell_heavy, m, k=dg.ell_k
         )
+    else:
+        d1, u1 = tier1()
+        if has_mid:
+            d2, u2 = tier2()
+        if has_heavy:
+            p_pad = dg.ell_heavy.shape[0] * 2
+            mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
+            cfn = masked_cross_depth if pallas else masked_cross_depth_xla
+            dh, uh = cfn(dg.ell_heavy, mp, nibble=True)
+    if has_heavy and dg.ell_heavy_res_col.size:
         mp = jnp.zeros(
             dg.ell_heavy.shape[0] * 2, jnp.int32
         ).at[: dg.num_paths].set(m)
-    else:
-        if pallas:
-            depth, uniq = masked_ell_depth_tall(
-                dg.cross_ell, m, k=dg.ell_k
-            )
-        else:
-            depth, uniq = masked_ell_depth_xla(
-                unfold_ell_tall(dg.cross_ell, dg.ell_k), m
-            )
-        p_pad = dg.ell_heavy.shape[0] * 2
-        mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
-        cfn = masked_cross_depth if pallas else masked_cross_depth_xla
-        dh, uh = cfn(dg.ell_heavy, mp, nibble=True)
-    if dg.ell_heavy_res_col.size:
         fix = jnp.sum(
             dg.ell_heavy_res * mp[:, None], axis=0, dtype=jnp.int32
         )
@@ -253,62 +265,65 @@ def seg_depth_with_uniq_ell_parts(
         # scatter; sentinel-padded residual columns contribute zero.
         k3 = dg.ell_heavy_res.shape[1]
         dh = dh.at[:k3].add(fix)
-    return depth, uniq, dh, uh
+    return d1, u1, d2, u2, dh, uh
 
 
 @functools.partial(jax.jit, static_argnames=("pallas",))
 def seg_depth_with_uniq_ell_permuted(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
-    """Masked (depth, uniq) in the index's own ``ell_order`` (light
-    segments first, then heavy) as single vectors — the parts op plus
-    one device concatenate; prefer the parts form on hot paths."""
-    dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+    """Masked (depth, uniq) in the index's own ``ell_order``
+    ([tier1, tier2, heavy, empty]) as single vectors — the parts op
+    plus one device concatenate (the empty tail is a constant zero
+    block); prefer the parts form on hot paths."""
+    d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
         dg, path_mask, pallas=pallas
     )
-    if dh is None:
-        return dl[: dg.num_segments], ul[: dg.num_segments]
-    nl = dg.ell_num_light
-    nh = dg.num_segments - nl
-    return (
-        jnp.concatenate([dl[:nl], dh[:nh]]),
-        jnp.concatenate([ul[:nl], uh[:nh]]),
-    )
+    n = dg.num_segments
+    if d2 is None and dh is None and not dg.ell_order.shape[0]:
+        return d1[:n], u1[:n]
+    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    ne = n - nl - nm - nh
+    zero = jnp.zeros(ne, jnp.int32)
+    dparts = [d1[:nl]] + (
+        [d2[:nm]] if d2 is not None else []
+    ) + ([dh[:nh]] if dh is not None else []) + [zero]
+    uparts = [u1[:nl]] + (
+        [u2[:nm]] if u2 is not None else []
+    ) + ([uh[:nh]] if uh is not None else []) + [zero]
+    return jnp.concatenate(dparts), jnp.concatenate(uparts)
 
 
 def seg_depth_with_uniq_ell(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
-    """Masked (depth, uniq) via the split ELL index, in natural segment
-    order. Host-side composition + un-permutation (numpy over the
-    ingest-known ``ell_order``): production serving either consumes the
-    permuted device parts directly or renders host-side anyway, so the
-    device pays neither the concatenate nor a gather."""
-    dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+    """Masked (depth, uniq) via the tiered split ELL index, in natural
+    segment order. Host-side composition + un-permutation (numpy over
+    the ingest-known ``ell_order``): production serving either consumes
+    the permuted device parts directly or renders host-side anyway, so
+    the device pays neither the concatenate nor a gather."""
+    d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
         dg, path_mask, pallas=pallas
     )
     n = dg.num_segments
-    if dh is None:
-        if not dg.ell_order.shape[0]:
-            return dl[:n], ul[:n]
-        d = np.asarray(jax.device_get(dl))[:n]
-        u = np.asarray(jax.device_get(ul))[:n]
-    else:
-        nl = dg.ell_num_light
-        d = np.concatenate(
-            [
-                np.asarray(jax.device_get(dl))[:nl],
-                np.asarray(jax.device_get(dh))[: n - nl],
-            ]
-        )
-        u = np.concatenate(
-            [
-                np.asarray(jax.device_get(ul))[:nl],
-                np.asarray(jax.device_get(uh))[: n - nl],
-            ]
-        )
-        if not dg.ell_order.shape[0]:
-            return jnp.asarray(d), jnp.asarray(u)
+    if d2 is None and dh is None and not dg.ell_order.shape[0]:
+        return d1[:n], u1[:n]
+    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    ne = n - nl - nm - nh
+    dparts = [np.asarray(jax.device_get(d1))[:nl]]
+    uparts = [np.asarray(jax.device_get(u1))[:nl]]
+    if d2 is not None:
+        dparts.append(np.asarray(jax.device_get(d2))[:nm])
+        uparts.append(np.asarray(jax.device_get(u2))[:nm])
+    if dh is not None:
+        dparts.append(np.asarray(jax.device_get(dh))[:nh])
+        uparts.append(np.asarray(jax.device_get(uh))[:nh])
+    dparts.append(np.zeros(ne, np.int32))
+    uparts.append(np.zeros(ne, np.int32))
+    d = np.concatenate(dparts)
+    u = np.concatenate(uparts)
+    if not dg.ell_order.shape[0]:
+        return jnp.asarray(d), jnp.asarray(u)
     order = np.asarray(jax.device_get(dg.ell_order))
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
@@ -349,7 +364,7 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
         n_words = -(-max(dg.num_paths, 1) // 32)
         per_slot = 4 + 2 * n_words
         costs["ell"] = (
-            per_slot * dg.cross_ell.size
+            per_slot * (dg.cross_ell.size + dg.cross_ell2.size)
             + 2 * dg.ell_heavy.size  # nibble sub-matrix: DMA + unpack
             + 8 * dg.ell_heavy_res.size
         )

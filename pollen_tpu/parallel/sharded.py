@@ -401,17 +401,20 @@ def sharded_cross_depth_fn(mesh: Mesh, nibble: bool = False):
 
 
 class ShardedEll(NamedTuple):
-    """Split ELL run index laid out over a mesh: light slot columns
-    AND heavy nibble columns each sharded across every device; the
-    tiny clip residual replicated. Query outputs come back as two
-    segment-sharded vectors in the index's permuted order
-    (``dg.ell_order`` = light segments then heavy segments)."""
+    """Tiered split ELL run index laid out over a mesh: tier-1 and
+    tier-2 slot columns AND heavy nibble columns each sharded across
+    every device; the tiny clip residual replicated. Query outputs
+    come back as segment-sharded part vectors in the index's permuted
+    order (``dg.ell_order`` = [tier1, tier2, heavy, empty]; the empty
+    class needs no device part at all)."""
 
-    ell: jax.Array  # int32[K, light_width * n_dev], column-sharded
+    ell: jax.Array  # int32[K1, light_width * n_dev], column-sharded
+    ell2: jax.Array | None  # int32[K2, mid_width * n_dev] or None
     heavy: jax.Array | None  # uint8[P_pad/2, heavy_width * n_dev] or None
     heavy_res: jax.Array  # int32[P_pad, K3_pad], replicated
     heavy_res_col: jax.Array  # int32[K3_pad], replicated (sentinel-padded)
-    light_width: int  # light columns per device
+    light_width: int  # tier-1 columns per device
+    mid_width: int  # tier-2 columns per device
     heavy_width: int  # heavy columns per device
     num_paths: int
     nibble_rows: int  # ell_heavy row count (P_pad / 2)
@@ -444,6 +447,12 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
     e, lw = _pad_cols(np.ascontiguousarray(flat), n_dev)
     col_shard = NamedSharding(mesh, P(None, STEP_AXES))
     repl = NamedSharding(mesh, P())
+    ell2 = None
+    mw = 0
+    if dg.cross_ell2.size:
+        flat2 = unfold_ell_tall(np.asarray(dg.cross_ell2), dg.ell_k2)
+        e2, mw = _pad_cols(np.ascontiguousarray(flat2), n_dev)
+        ell2 = jax.device_put(jnp.asarray(e2), col_shard)
     heavy = None
     hw = 0
     rows = 0
@@ -453,28 +462,32 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
         rows = h.shape[0]
     return ShardedEll(
         ell=jax.device_put(jnp.asarray(e), col_shard),
+        ell2=ell2,
         heavy=heavy,
         heavy_res=jax.device_put(dg.ell_heavy_res, repl),
         heavy_res_col=jax.device_put(dg.ell_heavy_res_col, repl),
         light_width=lw,
+        mid_width=mw,
         heavy_width=hw,
         num_paths=dg.num_paths,
         nibble_rows=rows,
     )
 
 
-def sharded_ell_depth_fn(mesh: Mesh, has_heavy: bool = False):
-    """Mesh-wide masked (depth, uniq) over the split ELL run index —
-    the same zero-collective tensor parallelism as the sharded crossing
-    matrix: every device reduces its own light slot columns and (when
-    present) its own heavy nibble columns; the replicated clip residual
-    is range-filtered locally; outputs stay segment-sharded in the
-    index's permuted order: (depth_light, uniq_light) or
-    (depth_light, uniq_light, depth_heavy, uniq_heavy)."""
+def sharded_ell_depth_fn(
+    mesh: Mesh, has_heavy: bool = False, has_mid: bool = False
+):
+    """Mesh-wide masked (depth, uniq) over the tiered split ELL run
+    index — the same zero-collective tensor parallelism as the sharded
+    crossing matrix: every device reduces its own tier-1 (and tier-2)
+    slot columns and (when present) its own heavy nibble columns; the
+    replicated clip residual is range-filtered locally. Outputs stay
+    segment-sharded, one (depth, uniq) pair per present class in
+    ``ell_order`` order: (d1, u1[, d2, u2][, dh, uh])."""
     from ..kernels.crossmat import fold_mask, unpack_cross
     from ..kernels.ellscan import COUNT_BITS, COUNT_MAX
 
-    def _light(e, mask):
+    def _tier(e, mask):
         pid = (e >> COUNT_BITS) & 0xFFFF  # zero-extend the path id
         cnt = e & COUNT_MAX
         m = jnp.zeros(1 << 16, jnp.int32).at[: mask.shape[0]].set(
@@ -485,65 +498,57 @@ def sharded_ell_depth_fn(mesh: Mesh, has_heavy: bool = False):
         uniq = jnp.sum(bit * (e != 0).astype(jnp.int32), axis=0)
         return depth, uniq
 
-    if not has_heavy:
-
-        @jax.jit
-        def query(ell, mask):
-            def worker(e, mask):
-                return _light(e, mask)
-
-            return jax.shard_map(
-                worker,
-                mesh=mesh,
-                in_specs=(P(None, STEP_AXES), P()),
-                out_specs=(P(STEP_AXES), P(STEP_AXES)),
-            )(ell, mask)
-
-        return query
-
     @jax.jit
-    def query(ell, heavy, res, res_col, mask):
-        def worker(e, h, res, res_col, mask):
-            idx = jax.lax.axis_index(STEP_AXES)
-            depth_l, uniq_l = _light(e, mask)
-            # Heavy nibble columns: bf16 dots, exact (counts <= 15).
-            p_pad = h.shape[0] * 2
-            mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
-                mask.astype(jnp.int32)
-            )
-            af = unpack_cross(h).astype(jnp.bfloat16)
-            mf = fold_mask(mp).astype(jnp.bfloat16)
-            depth_h = jnp.dot(
-                mf, af, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)
-            uniq_h = jnp.dot(
-                mf,
-                jnp.minimum(af, jnp.bfloat16(1)),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            if res_col.shape[0]:
-                fix = jnp.sum(res * mp[:, None], axis=0, dtype=jnp.int32)
-                local = res_col - idx * h.shape[1]
-                depth_h = depth_h.at[local].add(fix, mode="drop")
-            return depth_l, uniq_l, depth_h, uniq_h
+    def query(*args):
+        def worker(*wargs):
+            mask = wargs[-1]
+            i = 0
+            outs = list(_tier(wargs[i], mask))
+            i += 1
+            if has_mid:
+                outs += list(_tier(wargs[i], mask))
+                i += 1
+            if has_heavy:
+                h, res, res_col = wargs[i : i + 3]
+                idx = jax.lax.axis_index(STEP_AXES)
+                # Heavy nibble columns: bf16 dots, exact (counts <= 15).
+                p_pad = h.shape[0] * 2
+                mp = jnp.zeros(p_pad, jnp.int32).at[
+                    : mask.shape[0]
+                ].set(mask.astype(jnp.int32))
+                af = unpack_cross(h).astype(jnp.bfloat16)
+                mf = fold_mask(mp).astype(jnp.bfloat16)
+                depth_h = jnp.dot(
+                    mf, af, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+                uniq_h = jnp.dot(
+                    mf,
+                    jnp.minimum(af, jnp.bfloat16(1)),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                if res_col.shape[0]:
+                    fix = jnp.sum(
+                        res * mp[:, None], axis=0, dtype=jnp.int32
+                    )
+                    local = res_col - idx * h.shape[1]
+                    depth_h = depth_h.at[local].add(fix, mode="drop")
+                outs += [depth_h, uniq_h]
+            return tuple(outs)
 
+        shard = P(None, STEP_AXES)
+        in_specs = (
+            [shard]
+            + ([shard] if has_mid else [])
+            + ([shard, P(), P()] if has_heavy else [])
+            + [P()]
+        )
+        n_out = 2 + 2 * has_mid + 2 * has_heavy
         return jax.shard_map(
             worker,
             mesh=mesh,
-            in_specs=(
-                P(None, STEP_AXES),
-                P(None, STEP_AXES),
-                P(),
-                P(),
-                P(),
-            ),
-            out_specs=(
-                P(STEP_AXES),
-                P(STEP_AXES),
-                P(STEP_AXES),
-                P(STEP_AXES),
-            ),
-        )(ell, heavy, res, res_col, mask)
+            in_specs=tuple(in_specs),
+            out_specs=tuple([P(STEP_AXES)] * n_out),
+        )(*args)
 
     return query
 

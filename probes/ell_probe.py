@@ -62,11 +62,13 @@ def main():
 
     t0 = time.perf_counter()
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
-    heavy = dg.num_segments - dg.ell_num_light
     print(
         f"# ingest {time.perf_counter() - t0:.1f}s; "
-        f"ell {dg.cross_ell.shape} heavy {heavy} "
-        f"hmat {dg.ell_heavy.shape} res {dg.ell_heavy_res.shape}",
+        f"t1 {dg.cross_ell.shape} k{dg.ell_k} "
+        f"t2 {dg.cross_ell2.shape} k{dg.ell_k2} "
+        f"classes {dg.ell_num_light}/{dg.ell_num_mid}/"
+        f"{dg.ell_num_heavy} hmat {dg.ell_heavy.shape} "
+        f"res {dg.ell_heavy_res.shape}",
         flush=True,
     )
 
@@ -115,14 +117,17 @@ def main():
         from pollen_tpu.ops.depth import seg_depth_with_uniq_ell_parts
 
         def q(mask, dg):
-            # The parts form (production serving shape); fold the heavy
-            # parts in with a one-element update so nothing is DCE'd.
-            dl, ul, dh, uh = seg_depth_with_uniq_ell_parts(
+            # The parts form (production serving shape); fold tier-2 /
+            # heavy parts in with one-element updates so nothing is
+            # DCE'd.
+            d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
                 dg, mask, pallas=True
             )
-            if dh is None:
-                return dl, ul
-            return dl, ul.at[0].add(dh[-1] + uh[-1])
+            if d2 is not None:
+                u1 = u1.at[0].add(d2[-1] + u2[-1])
+            if dh is not None:
+                u1 = u1.at[1].add(dh[-1] + uh[-1])
+            return d1, u1
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
         t0 = time.perf_counter()

@@ -350,6 +350,92 @@ def test_ell_split_fused_kernel():
     np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
     np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
 
+    # Three-phase variant: add a tier-2 slot block; all six parts exact.
+    from pollen_tpu.kernels.ellscan import masked_ell_split3_depth
+
+    k2, n2 = 4, SUB * TALL_W
+    col2 = np.sort(rng.integers(0, n2, 2 * n2))
+    slot2 = np.arange(col2.size) - np.searchsorted(col2, col2, "left")
+    keep2 = slot2 < k2
+    col2, slot2 = col2[keep2], slot2[keep2]
+    p2 = rng.integers(0, p, col2.size).astype(np.int32)
+    c2 = rng.integers(1, 500, col2.size).astype(np.int32)
+    ell2 = pack_ell(p2, c2, col2, slot2, k2, n2)
+    tall2 = pack_ell_tall(ell2)
+    d1, u1, d2, u2, dh, uh = masked_ell_split3_depth(
+        jnp.asarray(tall),
+        jnp.asarray(tall2),
+        jnp.asarray(heavy),
+        jnp.asarray(mask),
+        k=k,
+        k2=k2,
+        interpret=True,
+    )
+    d_2x, u_2x = masked_ell_depth_xla(jnp.asarray(ell2), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d_lx))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u_lx))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d_2x))
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u_2x))
+    np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
+    np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
+
+
+def test_ell_tiered_split_end_to_end():
+    """A graph with many 1-run segments, a band of mid-popularity
+    segments, and never-crossed segments makes the planner build a
+    tier-2 class and an empty class; every query form stays exact."""
+    from pollen_tpu.flatgfa import parse_gfa
+    from pollen_tpu.ops.depth import (
+        seg_depth_with_uniq_ell,
+        seg_depth_with_uniq_ell_parts,
+        seg_depth_with_uniq_ell_permuted,
+        seg_depth_with_uniq_masked,
+    )
+
+    n_light, n_mid, n_empty, p = 300, 50, 40, 30
+    segs = n_light + n_mid + n_empty
+    lines = [f"S\t{i + 1}\tA" for i in range(segs)]
+    path_steps = {j: [] for j in range(p)}
+    for i in range(n_light):  # 1 run each
+        path_steps[i % p].append(i + 1)
+    for i in range(n_mid):  # 6 distinct paths each
+        for d in range(6):
+            path_steps[(i + d * 5) % p].append(n_light + i + 1)
+    for j in range(p):
+        steps = ",".join(f"{s}+" for s in path_steps[j])
+        lines.append(f"P\tp{j}\t{steps}\t*")
+    g = parse_gfa(("\n".join(lines) + "\n").encode())
+    dg = build_device_graph(g, cross_matrix="always")
+    assert dg.ell_k2 > 0 and dg.cross_ell2.size
+    assert dg.ell_num_mid > 0
+    assert (
+        dg.ell_num_light + dg.ell_num_mid + dg.ell_num_heavy
+        < dg.num_segments
+    ), "expected a non-empty empty class"
+    assert dg.ell_order.shape[0] == dg.num_segments
+
+    rng = np.random.default_rng(61)
+    n = dg.num_segments
+    for _ in range(2):
+        mask = rng.integers(0, 2, dg.num_paths).astype(bool)
+        d_x, u_x = seg_depth_with_uniq_masked(dg, jnp.asarray(mask))
+        # Natural-order host composition.
+        d_e, u_e = seg_depth_with_uniq_ell(dg, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_x))
+        # Permuted device form + inverse permutation.
+        d_p, u_p = seg_depth_with_uniq_ell_permuted(dg, jnp.asarray(mask))
+        order = np.asarray(dg.ell_order)
+        d_nat = np.empty(n, np.int64)
+        u_nat = np.empty(n, np.int64)
+        d_nat[order] = np.asarray(d_p)[:n]
+        u_nat[order] = np.asarray(u_p)[:n]
+        np.testing.assert_array_equal(d_nat, np.asarray(d_x))
+        np.testing.assert_array_equal(u_nat, np.asarray(u_x))
+        # Raw parts carry a real tier-2 pair.
+        parts = seg_depth_with_uniq_ell_parts(dg, jnp.asarray(mask))
+        assert parts[2] is not None and parts[3] is not None
+
 
 def test_ell_heavy_segments_sidecar():
     """Segments with more runs than K slots split into the heavy

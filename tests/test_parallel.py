@@ -134,27 +134,45 @@ def test_sharded_cross_depth_matches_single(graph_path, mesh):
 
 
 def _sharded_ell_natural(dg, se, mesh, bools):
-    """Run the sharded split-ELL query and reassemble natural order."""
+    """Run the sharded tiered split-ELL query and reassemble natural
+    order from the per-class parts (+ the empty class's zeros)."""
     from pollen_tpu.parallel.sharded import sharded_ell_depth_fn
 
     m = jnp.asarray(bools.astype(np.int32))
     n = dg.num_segments
-    nl = dg.ell_num_light
-    if se.heavy is None:
-        d_l, u_l = sharded_ell_depth_fn(mesh, has_heavy=False)(se.ell, m)
-        return np.asarray(d_l)[:n], np.asarray(u_l)[:n]
-    d_l, u_l, d_h, u_h = sharded_ell_depth_fn(mesh, has_heavy=True)(
-        se.ell, se.heavy, se.heavy_res, se.heavy_res_col, m
-    )
+    has_mid = se.ell2 is not None
+    has_heavy = se.heavy is not None
+    args = [se.ell]
+    if has_mid:
+        args.append(se.ell2)
+    if has_heavy:
+        args += [se.heavy, se.heavy_res, se.heavy_res_col]
+    args.append(m)
+    parts = sharded_ell_depth_fn(
+        mesh, has_heavy=has_heavy, has_mid=has_mid
+    )(*args)
+    counts = [dg.ell_num_light]
+    if has_mid:
+        counts.append(dg.ell_num_mid)
+    if has_heavy:
+        counts.append(dg.ell_num_heavy)
+    d_parts = [np.asarray(parts[2 * i])[:c] for i, c in enumerate(counts)]
+    u_parts = [
+        np.asarray(parts[2 * i + 1])[:c] for i, c in enumerate(counts)
+    ]
+    ne = n - sum(counts)
+    d_parts.append(np.zeros(ne, np.int64))
+    u_parts.append(np.zeros(ne, np.int64))
+    if not dg.ell_order.shape[0]:
+        return (
+            np.concatenate(d_parts)[:n],
+            np.concatenate(u_parts)[:n],
+        )
     order = np.asarray(dg.ell_order)
     d_nat = np.empty(n, np.int64)
     u_nat = np.empty(n, np.int64)
-    d_nat[order] = np.concatenate(
-        [np.asarray(d_l)[:nl], np.asarray(d_h)[: n - nl]]
-    )
-    u_nat[order] = np.concatenate(
-        [np.asarray(u_l)[:nl], np.asarray(u_h)[: n - nl]]
-    )
+    d_nat[order] = np.concatenate(d_parts)
+    u_nat[order] = np.concatenate(u_parts)
     return d_nat, u_nat
 
 
