@@ -4,10 +4,12 @@ combined probe — two compiles + four full-vector readbacks ~6 MB
 through a 30 MB/s link — never fit its time box and GAVE UP 6 times).
 
 Stages (each: ONE compile, scalar-only readbacks):
-  ellk    - bare masked_ell_depth kernel (no sidecar)
-  ell     - full seg_depth_with_uniq_ell (kernel + sidecar fixup)
+  ellk    - bare tier-1 tall kernel (masked_ell_depth_tall)
+  heavyk  - bare heavy nibble pass (rotated crossmat kernel)
+  ell     - full tiered split query, parts form (fused 3-phase kernel)
   ellok   - on-device correctness: ELL vs XLA pipeline, 1-scalar diff
   crossd  - depth-only crossing matrix (uniq dot + indicator skipped)
+  scanb/scanx - fused scan + planned/XLA boundary
   scatter - depth.at[ids].add cost for K2 in {256..32768}
 
 Usage: python probes/ell_probe.py <stage>
