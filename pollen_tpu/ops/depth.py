@@ -520,7 +520,9 @@ def run_seg_depth(
             # far fewer elements than the step stream.
             depth, uniq = seg_depth_with_uniq_runs_fused(dg, mask)
         elif on_tpu:
-            depth, uniq = seg_depth_with_uniq_fused(dg, mask)
+            depth, uniq = seg_depth_with_uniq_fused(
+                dg, mask, planned_boundary=dg.bnd_w_rows > 0
+            )
         elif r:
             depth, uniq = seg_depth_with_uniq_runs(dg, mask)
         else:
