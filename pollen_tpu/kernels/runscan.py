@@ -25,9 +25,11 @@ import jax.numpy as jnp
 
 from .segscan import LANES
 
-# Smaller block than segscan: the exact int cumsum's shift intermediates
-# plus the one-hot matmul would exceed VMEM at segscan's 64 rows.
-ROWS = 32
+# Block height: the bit-select mask mode freed the VMEM the 3-D
+# one-hot used to occupy (this was 32 rows then); taller blocks
+# amortize the measured ~1.5 us fixed per-grid-step cost (the segscan
+# ROWS=64 -> 128 A/B bought 15%).
+ROWS = 128
 BLOCK = ROWS * LANES
 
 

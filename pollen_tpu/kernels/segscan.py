@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 LANES = 128
-ROWS = 64  # steps per block = ROWS * LANES (tuned on v5e; see BLOCK)
+ROWS = 128  # steps per block = ROWS * LANES (tuned on v5e; see BLOCK)
 BLOCK = ROWS * LANES
 # Bit-select mask mode is used up to this many packed mask words; the
 # select chain unrolls n_words-1 full-block selects, so past this the

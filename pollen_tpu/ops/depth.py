@@ -333,11 +333,12 @@ def seg_depth_with_uniq_ell(
 # Cost-model constants, in "equivalent streamed bytes" (time at the
 # measured 657 GB/s roofline), calibrated against the TPU probes at
 # bench shape (2^22 steps, 2^18 segments, 128 paths — probes/
-# RESULTS.txt): the fused scan measured 2495.7 us end-to-end with the
-# planned boundary (~390 equiv B/step: the kernel is VPU/overhead-
-# bound, not stream-bound), the XLA pipeline 12302.7 us (~1930
-# equiv B/step, dominated by the TPU gather's ~94 M elem/s boundary).
-_SCAN_EQUIV_BYTES = 390
+# RESULTS.txt): the fused scan measured 2115.9 us end-to-end with the
+# planned boundary and 128-row blocks (~330 equiv B/step: the kernel
+# is VPU/overhead-bound, not stream-bound), the XLA pipeline
+# 12302.7 us (~1930 equiv B/step, dominated by the TPU gather's
+# ~94 M elem/s boundary).
+_SCAN_EQUIV_BYTES = 330
 _XLA_EQUIV_BYTES = 1930
 
 

@@ -36,7 +36,9 @@ def _random_case(s, p, n, seed):
 # matvec fallback.
 @pytest.mark.parametrize("p", [60, 200, 2300])
 def test_kernel_matches_bruteforce(seed, p):
-    s, n = 8192, 37
+    from pollen_tpu.kernels.segscan import BLOCK
+
+    s, n = BLOCK, 37
     seg, path, run_start, bounds = _random_case(s, p, n, seed)
     p_pad = -(-(p + 1) // 128) * 128
     rng = np.random.default_rng(seed + 100)

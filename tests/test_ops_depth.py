@@ -143,3 +143,36 @@ def test_batched_queries(graph_path, arena):
         )
         np.testing.assert_array_equal(np.asarray(d_b)[q], np.asarray(d))
         np.testing.assert_array_equal(np.asarray(u_b)[q], np.asarray(u))
+
+
+def test_cost_model_routing():
+    """The masked-impl cost model routes realistic shapes to the
+    measured-cheapest index (regression guard: round 2's 16 B/step
+    scan constant was ~24x optimistic and could route graphs onto a
+    10x-slower path)."""
+    import bench as bench_mod
+
+    # Small-N Zipf shape: the dense matrix is genuinely cheapest (its
+    # bytes scale with N*P; ELL pays a fixed per-run VPU cost).
+    _, dg_small = bench_mod.synth_device_graph(2**18, 2**14, 64)
+    assert depth_op._best_masked_impl(dg_small) == "cross"
+
+    # The bench shape: the tiered ELL must win (measured 15.4 us vs
+    # the dense matrix's 47 us).
+    _, dg = bench_mod.synth_device_graph(2**22, 2**18, 128)
+    assert dg.cross_ell.size and dg.ell_k2 > 0
+    assert depth_op._best_masked_impl(dg) == "ell"
+
+    # With both resident indexes suppressed, only the scan family
+    # remains, and the fused kernel must beat the XLA pipeline.
+    import os
+
+    os.environ["POLLEN_CROSS_BUDGET_MB"] = "0"
+    try:
+        _, dg2 = bench_mod.synth_device_graph(2**18, 2**14, 64)
+    finally:
+        del os.environ["POLLEN_CROSS_BUDGET_MB"]
+    assert dg2.cross_matrix.size == 0 and dg2.cross_ell.size == 0
+    costs = depth_op._masked_impl_costs(dg2)
+    assert costs["scan"] < costs["xla"]
+    assert depth_op._best_masked_impl(dg2) in ("scan", "runs")
