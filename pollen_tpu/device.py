@@ -92,6 +92,9 @@ from .flatgfa import GraphArrays
         "bnd_row_start",
         "bnd_loc",
         "bnd_over_bounds",
+        "bnd2_row_start",
+        "bnd2_loc",
+        "bnd2_over_bounds",
     ],
     meta_fields=[
         "num_segments",
@@ -104,6 +107,8 @@ from .flatgfa import GraphArrays
         "ell_k2",
         "bnd_w_rows",
         "bnd_over_tiles",
+        "bnd2_w_rows",
+        "bnd2_over_tiles",
     ],
 )
 @dataclasses.dataclass
@@ -178,6 +183,10 @@ class DeviceGraph:
     bnd_row_start: jax.Array  # int32[n_tiles]
     bnd_loc: jax.Array  # int32[n_tiles, 128]
     bnd_over_bounds: jax.Array  # int32[T', 128]
+    # ... and the same plan over run_seg_bounds for the runs kernel.
+    bnd2_row_start: jax.Array  # int32[n_tiles2]
+    bnd2_loc: jax.Array  # int32[n_tiles2, 128]
+    bnd2_over_bounds: jax.Array  # int32[T2', 128]
 
     num_segments: int
     num_paths: int
@@ -195,6 +204,9 @@ class DeviceGraph:
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
     bnd_over_tiles: tuple = ()
+    # Run-level boundary plan statics (over run_seg_bounds).
+    bnd2_w_rows: int = 0
+    bnd2_over_tiles: tuple = ()
 
     @property
     def num_steps(self) -> int:
@@ -536,6 +548,26 @@ def build_device_graph(
         bnd_over_bounds = np.zeros((0, 128), np.int32)
         bnd_w_rows = 0
 
+    # A second plan over the run-level bounds (the runs kernel's
+    # boundary stage gathers run_seg_bounds against r_pad-long cumsums).
+    bplan2 = (
+        plan_boundary(run_seg_bounds, r_pad)
+        if not minimal and r_pad < (1 << 24) and n > 0 and r > 0
+        else None
+    )
+    if bplan2 is not None and len(bplan2.over_tiles) <= 64:
+        bnd2_row_start = bplan2.row_start
+        bnd2_loc = bplan2.loc
+        bnd2_over_tiles = bplan2.over_tiles
+        bnd2_over_bounds = bplan2.over_bounds
+        bnd2_w_rows = bplan2.w_rows
+    else:
+        bnd2_row_start = np.zeros(0, np.int32)
+        bnd2_loc = np.zeros((0, 128), np.int32)
+        bnd2_over_tiles = ()
+        bnd2_over_bounds = np.zeros((0, 128), np.int32)
+        bnd2_w_rows = 0
+
     # Fold the tier slots into the tall layout the production kernel
     # consumes (kernels/ellscan.py masked_ell_depth_tall).
     ell_k = ell_k2 = 0
@@ -595,6 +627,9 @@ def build_device_graph(
         bnd_row_start=put(jnp.asarray(bnd_row_start)),
         bnd_loc=put(jnp.asarray(bnd_loc)),
         bnd_over_bounds=put(jnp.asarray(bnd_over_bounds)),
+        bnd2_row_start=put(jnp.asarray(bnd2_row_start)),
+        bnd2_loc=put(jnp.asarray(bnd2_loc)),
+        bnd2_over_bounds=put(jnp.asarray(bnd2_over_bounds)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,
@@ -605,6 +640,8 @@ def build_device_graph(
         ell_k2=ell_k2,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
+        bnd2_w_rows=bnd2_w_rows,
+        bnd2_over_tiles=bnd2_over_tiles,
     )
 
 

@@ -82,7 +82,9 @@ def seg_depth_with_uniq_runs_fused(
     dg: DeviceGraph, path_mask: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Run-level masked (depth, uniq) via the fused Pallas kernel
-    (TPU production path; see kernels/runscan.py)."""
+    (TPU production path; see kernels/runscan.py). The boundary stage
+    uses the ingest plan over ``run_seg_bounds`` when present
+    (``bnd2_w_rows``), the XLA gather otherwise."""
     from ..kernels.runscan import masked_run_cumsums
 
     mask_ext = _extend_mask(path_mask)
@@ -93,6 +95,24 @@ def seg_depth_with_uniq_runs_fused(
     cswc, csw = masked_run_cumsums(
         dg.run_path, dg.run_count, mask_padded
     )
+    if dg.bnd2_w_rows:
+        from ..kernels.gatherb import boundary_diff_planned
+
+        args = (
+            dg.bnd2_row_start,
+            dg.bnd2_loc,
+            dg.bnd2_over_tiles,
+            dg.bnd2_over_bounds,
+        )
+        kw = dict(
+            w_rows=dg.bnd2_w_rows,
+            n_bounds=dg.num_segments + 1,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return (
+            boundary_diff_planned(cswc.astype(jnp.int32), *args, **kw),
+            boundary_diff_planned(csw.astype(jnp.int32), *args, **kw),
+        )
     from ..device import boundary_diff
 
     depth = boundary_diff(cswc, dg.run_seg_bounds)
@@ -334,25 +354,30 @@ def seg_depth_with_uniq_ell(
 # measured 657 GB/s roofline), calibrated against the TPU probes at
 # bench shape (2^22 steps, 2^18 segments, 128 paths — probes/
 # RESULTS.txt): the fused scan measured 2115.9 us end-to-end with the
-# planned boundary and 128-row blocks (~330 equiv B/step: the kernel
-# is VPU/overhead-bound, not stream-bound), the XLA pipeline
-# 12302.7 us (~1930 equiv B/step, dominated by the TPU gather's
-# ~94 M elem/s boundary).
-_SCAN_EQUIV_BYTES = 330
+# planned boundary and 128-row blocks; the run-level kernel 1499.2 us
+# over 2^19 runs of the same graph. Solving the two against a shared
+# planned-boundary term (~1000 equiv B per segment, 2 x 2048 gather
+# tiles at N = 2^18) gives ~270 equiv B/step for segscan and ~1380
+# equiv B/run for runscan — its exact int shift-add cumsums cost ~5x
+# segscan's MXU triangular matmuls per element, so runs only wins
+# when R < S/5. The XLA pipeline measured 12302.7 us end-to-end
+# (~1930 equiv B/step, dominated by the ~94 M elem/s TPU gather).
+_SCAN_EQUIV_BYTES = 270
+_RUNS_EQUIV_BYTES = 1380
+_BND_EQUIV_BYTES = 1000
 _XLA_EQUIV_BYTES = 1930
 
 
 def _masked_impl_costs(dg: DeviceGraph) -> dict:
     """Equivalent streamed bytes per masked-depth query, per resident
     index — all shapes, so decidable at trace time."""
+    bnd = _BND_EQUIV_BYTES * (dg.num_segments + 1)
     costs = {
-        "scan": _SCAN_EQUIV_BYTES * dg.padded_steps,
+        "scan": _SCAN_EQUIV_BYTES * dg.padded_steps + bnd,
         "xla": _XLA_EQUIV_BYTES * dg.padded_steps,
     }
     if dg.run_path.shape[0]:
-        # Same kernel family as the fused scan (runscan shares its
-        # cumsum/select structure), over R runs instead of S steps.
-        costs["runs"] = _SCAN_EQUIV_BYTES * dg.run_path.shape[0]
+        costs["runs"] = _RUNS_EQUIV_BYTES * dg.run_path.shape[0] + bnd
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:
@@ -510,15 +535,16 @@ def run_seg_depth(
     else:
         mask = jnp.asarray(path_mask_for(g, subset_paths))
         on_tpu = jax.default_backend() not in ("cpu",)
-        r, s = dg.run_path.shape[0], dg.padded_steps
+        r = dg.run_path.shape[0]
         best = _best_masked_impl(dg)
         if best == "ell":
             depth, uniq = seg_depth_with_uniq_ell(dg, mask, pallas=on_tpu)
         elif best == "cross":
             depth, uniq = seg_depth_with_uniq_cross(dg, mask, pallas=on_tpu)
-        elif on_tpu and r and r * 8 < s:
-            # Heavy crossing duplication: the run-level kernel touches
-            # far fewer elements than the step stream.
+        elif on_tpu and best == "runs":
+            # Heavy crossing duplication (R < S/5 at the measured
+            # constants): the run-level kernel touches far fewer
+            # elements than the step stream.
             depth, uniq = seg_depth_with_uniq_runs_fused(dg, mask)
         elif on_tpu:
             depth, uniq = seg_depth_with_uniq_fused(

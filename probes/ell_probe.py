@@ -220,6 +220,74 @@ def main():
             flush=True,
         )
 
+    elif stage == "runsk":
+        # Run-level fused kernel (runscan) + planned boundary, timed on
+        # host-synthesized run arrays alone (uploading the full
+        # non-minimal graph costs minutes through the tunnel; the runs
+        # kernel only reads run_path/run_count/run_seg_bounds).
+        from pollen_tpu.kernels.gatherb import plan_boundary
+        from pollen_tpu.kernels.gatherb import boundary_diff_planned
+        from pollen_tpu.kernels.runscan import BLOCK, masked_run_cumsums
+
+        rng = np.random.default_rng(8)
+        pop = rng.zipf(1.3, size=n_steps).astype(np.int64)
+        segs = (pop - 1) % n_segs
+        bounds = np.linspace(0, n_steps, n_paths + 1).astype(np.int64)
+        pid = np.searchsorted(
+            bounds[1:], np.arange(n_steps), side="right"
+        )
+        key = segs << np.int64(20) | pid
+        uniq_keys, counts = np.unique(key, return_counts=True)
+        run_seg = (uniq_keys >> 20).astype(np.int64)
+        run_path = (uniq_keys & ((1 << 20) - 1)).astype(np.int32)
+        run_count = counts.astype(np.int32)
+        r = run_path.size
+        r_pad = -(-r // BLOCK) * BLOCK
+        run_path = np.concatenate(
+            [run_path, np.full(r_pad - r, n_paths, np.int32)]
+        )
+        run_count = np.concatenate(
+            [run_count, np.zeros(r_pad - r, np.int32)]
+        )
+        run_seg_bounds = np.searchsorted(
+            run_seg, np.arange(n_segs + 1)
+        ).astype(np.int32)
+        plan = plan_boundary(run_seg_bounds, r_pad)
+        print(f"# runs {r} (pad {r_pad}) w_rows {plan.w_rows}", flush=True)
+
+        bargs = (
+            jnp.asarray(plan.row_start),
+            jnp.asarray(plan.loc),
+            plan.over_tiles,
+            jnp.asarray(plan.over_bounds),
+        )
+
+        def q(mask, rp, rc):
+            cswc, csw = masked_run_cumsums(rp, rc, mask)
+            depth = boundary_diff_planned(
+                cswc, *bargs, w_rows=plan.w_rows,
+                n_bounds=n_segs + 1,
+            )
+            uniq = boundary_diff_planned(
+                csw, *bargs, w_rows=plan.w_rows,
+                n_bounds=n_segs + 1,
+            )
+            return depth, uniq
+
+        p_pad = -(-(n_paths + 1) // 128) * 128
+        mask = jnp.zeros(p_pad, jnp.int32).at[:n_paths].set(1)
+        t0 = time.perf_counter()
+        per = time_chained(
+            q, (mask, jnp.asarray(run_path), jnp.asarray(run_count))
+        )
+        print(
+            f"runsk: {per * 1e6:.1f} us/query "
+            f"({r / per / 1e9:.2f} G runs/s, "
+            f"{n_steps / per / 1e9:.2f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "scatter":
         rng = np.random.default_rng(5)
         base = jnp.zeros(n_segs, jnp.int32)
