@@ -261,6 +261,25 @@ def test_cross_rotated_output_blocks():
         np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_x))
 
 
+def test_ell_tall_pack_unfold_roundtrip():
+    """unfold_ell_tall inverts pack_ell_tall (modulo zero column
+    padding to the tall tile)."""
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        pack_ell_tall,
+        unfold_ell_tall,
+    )
+
+    rng = np.random.default_rng(67)
+    for k, n in ((1, 1000), (2, SUB * TALL_W), (4, 3 * SUB * TALL_W + 5)):
+        ell = rng.integers(0, 2**31 - 1, (k, n)).astype(np.int32)
+        tall = pack_ell_tall(ell)
+        flat = np.asarray(unfold_ell_tall(tall, k))
+        np.testing.assert_array_equal(flat[:, :n], ell)
+        assert not flat[:, n:].any()
+
+
 def test_ell_tall_layout_matches_flat():
     """The tall (sublane-folded) ELL layout returns the same depth/uniq
     as the flat layout, in natural column order."""
