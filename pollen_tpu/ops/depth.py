@@ -360,12 +360,14 @@ def seg_depth_with_uniq_ell(
 # tiles at N = 2^18) gives ~270 equiv B/step for segscan and ~1380
 # equiv B/run for runscan — its exact int shift-add cumsums cost ~5x
 # segscan's MXU triangular matmuls per element, so runs only wins
-# when R < S/5. The XLA pipeline measured 12302.7 us end-to-end
-# (~1930 equiv B/step, dominated by the ~94 M elem/s TPU gather).
+# when R < S/5. The fully-XLA pipeline (mask gather + cumsums +
+# boundary gathers, no Pallas) measured ~43 ms at bench shape in r1
+# (~6700 equiv B/step) — kept as the portable fallback's cost; it is
+# never chosen on TPU.
 _SCAN_EQUIV_BYTES = 270
 _RUNS_EQUIV_BYTES = 1380
 _BND_EQUIV_BYTES = 1000
-_XLA_EQUIV_BYTES = 1930
+_XLA_EQUIV_BYTES = 6700
 
 
 def _masked_impl_costs(dg: DeviceGraph) -> dict:
