@@ -322,19 +322,22 @@ def measure_depth(
         def body(i, carry):
             mask, acc = carry
             if impl == "ell":
-                # The parts form (the production serving shape); the
-                # chained dependency folds every part in so none is
-                # dead-code-eliminated (one-element updates — no
-                # N-sized re-materialization).
+                # The parts form (the production serving shape); fold
+                # the tier-2/heavy parts into u1[-1] — the element the
+                # chain READS — an update at an unread index is a dead
+                # store XLA may eliminate with the kernels feeding it.
                 d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
                     dg, mask, pallas=on_tpu
                 )
                 depth = d1
                 uniq = u1
+                extra = jnp.int32(0)
                 if d2 is not None:
-                    uniq = uniq.at[0].add(d2[-1] + u2[-1])
+                    extra = extra + d2[-1] + u2[-1]
                 if dh is not None:
-                    uniq = uniq.at[1].add(dh[-1] + uh[-1])
+                    extra = extra + dh[-1] + uh[-1]
+                if d2 is not None or dh is not None:
+                    uniq = uniq.at[-1].add(extra)
             elif impl == "cross":
                 depth, uniq = seg_depth_with_uniq_cross(
                     dg, mask, pallas=on_tpu

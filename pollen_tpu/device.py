@@ -420,9 +420,17 @@ def build_device_graph(
         over_h = hv & (run_count > CLIP_NIBBLE)
         over_cols = np.unique(run_seg[over_h])
         k3 = -(-over_cols.size // LANES) * LANES if over_cols.size else 0
+        # Budget against the RESIDENT sizes: pack_ell_tall pads each
+        # tier's columns to SUB*TALL_W multiples, which can exceed the
+        # raw column count by a large factor on small tiers.
+        from .kernels.ellscan import SUB, TALL_W
+
+        tile = SUB * TALL_W
+        nl_tall = -(-max(nl, 1) // tile) * tile
+        nm_tall = -(-nm // tile) * tile if nm else 0
         ell_bytes = (
-            4 * k_ell * nl
-            + 4 * k_ell2 * nm
+            4 * k_ell * nl_tall
+            + 4 * k_ell2 * nm_tall
             + (p_pad_m // 2) * nh_pad
             + 4 * p_pad_m * k3
         )

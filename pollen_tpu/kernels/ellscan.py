@@ -95,6 +95,13 @@ def plan_ell_tiers(
             if best is None or cost < best[0]:
                 best = (cost, k1, k2, t2, t1)
     _, k1, k2, t2, t1 = best
+    if not t1.any() and t2.any():
+        # Degenerate tie (strict < kept an earlier plan with an empty
+        # tier-1, e.g. every crossed segment has exactly 2 runs and
+        # k1=1/k2=2 ties with k1=2 alone): promote tier-2 to tier-1 so
+        # the ingest gate (`if nl`) does not drop the whole index.
+        k1, t1 = k2, t2
+        k2, t2 = 0, np.zeros_like(t2)
     heavy = crossed & ~t1 & ~t2
     return k1, k2, t1, t2, heavy
 

@@ -83,24 +83,39 @@ def _kernel(ids_ref, counts_ref, mask_ref, cswc_ref, csw_ref, carry, *,
         w32 = _select_word(ids >> 5, words)
         w = (w32 >> (ids & 31)) & 1
     else:
+        # Wide-P one-hot fallback, built over 32-row slices to bound
+        # the 3-D one-hot's VMEM at the (32, 128, 128) f32 footprint
+        # this kernel was proven at before ROWS grew to 128.
         n_chunks = mask_ref.shape[0]
-        w = jnp.zeros((ROWS, LANES), jnp.int32)
-        for c in range(n_chunks):
-            chunk = mask_ref[c, :]
-            onehot = (
-                ids[:, :, None]
-                == (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-                    + c * LANES
+        rc = min(ROWS, 32)
+        w_slices = []
+        for r0 in range(0, ROWS, rc):
+            ids_r = ids[r0 : r0 + rc]
+            w_r = jnp.zeros((rc, LANES), jnp.int32)
+            for c in range(n_chunks):
+                chunk = mask_ref[c, :]
+                onehot = (
+                    ids_r[:, :, None]
+                    == (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, LANES), 2
+                        )
+                        + c * LANES
+                    )
+                ).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    onehot,
+                    chunk,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            ).astype(jnp.float32)
-            part = jax.lax.dot_general(
-                onehot,
-                chunk,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            w = w + part.astype(jnp.int32)
+                w_r = w_r + part.astype(jnp.int32)
+            w_slices.append(w_r)
+        w = (
+            jnp.concatenate(w_slices, axis=0)
+            if len(w_slices) > 1
+            else w_slices[0]
+        )
 
     cswc_ref[:] = _flat_int_cumsum(w * counts) + carry[0]
     csw_ref[:] = _flat_int_cumsum(w) + carry[1]

@@ -155,26 +155,41 @@ def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words):
         # w = mask[ids] via one-hot matmul against the mask table (rows
         # of 128 paths at a time) — the wide-P fallback: MACs ride the
         # MXU, and the 3-D one-hot build is amortized over many paths.
+        # The one-hot is built over 64-row slices to bound its VMEM
+        # footprint at the (64, 128, 128) f32 = 4 MB the kernel was
+        # proven at before ROWS doubled to 128.
         n_chunks = mask_ref.shape[0]
-        w = jnp.zeros((ROWS, LANES), jnp.int32)
-        for c in range(n_chunks):
-            chunk = mask_ref[c, :]  # float32 row of 128 mask entries
-            onehot = (
-                ids[:, :, None]
-                == (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-                    + c * LANES
+        rc = min(ROWS, 64)
+        w_slices = []
+        for r0 in range(0, ROWS, rc):
+            ids_r = ids[r0 : r0 + rc]
+            w_r = jnp.zeros((rc, LANES), jnp.int32)
+            for c in range(n_chunks):
+                chunk = mask_ref[c, :]  # float32 row of 128 mask entries
+                onehot = (
+                    ids_r[:, :, None]
+                    == (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, LANES), 2
+                        )
+                        + c * LANES
+                    )
+                ).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    onehot,
+                    chunk,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            ).astype(jnp.float32)
-            part = jax.lax.dot_general(
-                onehot,
-                chunk,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # Accumulate in int32: Mosaic only supports constant matmul
-            # accumulators, so keep the adds off the MXU.
-            w = w + part.astype(jnp.int32)
+                # Accumulate in int32: Mosaic only supports constant
+                # matmul accumulators, so keep the adds off the MXU.
+                w_r = w_r + part.astype(jnp.int32)
+            w_slices.append(w_r)
+        w = (
+            jnp.concatenate(w_slices, axis=0)
+            if len(w_slices) > 1
+            else w_slices[0]
+        )
 
     # Global inclusive cumsum of w.
     cs_local = _flat_cumsum(w)

@@ -235,7 +235,9 @@ def seg_depth_with_uniq_ell_parts(
     # The fused pass needs the heavy step count divisible by 8 (the
     # row-rotated output); SEG_BLOCK-padded heavy columns (big graphs)
     # always are, 128-padded ones (tiny graphs) may not be.
-    fusable = has_heavy and dg.ell_heavy.shape[1] % 8192 == 0
+    from ..kernels.crossmat import SEG_BLOCK
+
+    fusable = has_heavy and dg.ell_heavy.shape[1] % SEG_BLOCK == 0
 
     def tier1():
         if pallas:
@@ -367,19 +369,30 @@ def seg_depth_with_uniq_ell(
 _SCAN_EQUIV_BYTES = 270
 _RUNS_EQUIV_BYTES = 1380
 _BND_EQUIV_BYTES = 1000
+# Without an ingest boundary plan the scan/runs boundary stage is
+# XLA's ~94 M elem/s gather: scanx - scanb = ~2.4 ms at N = 2^18
+# (probes) == ~6100 equiv B per segment.
+_BND_XLA_EQUIV_BYTES = 6100
 _XLA_EQUIV_BYTES = 6700
 
 
 def _masked_impl_costs(dg: DeviceGraph) -> dict:
     """Equivalent streamed bytes per masked-depth query, per resident
     index — all shapes, so decidable at trace time."""
-    bnd = _BND_EQUIV_BYTES * (dg.num_segments + 1)
+
+    def bnd(planned: bool) -> int:
+        per = _BND_EQUIV_BYTES if planned else _BND_XLA_EQUIV_BYTES
+        return per * (dg.num_segments + 1)
+
     costs = {
-        "scan": _SCAN_EQUIV_BYTES * dg.padded_steps + bnd,
+        "scan": _SCAN_EQUIV_BYTES * dg.padded_steps
+        + bnd(dg.bnd_w_rows > 0),
         "xla": _XLA_EQUIV_BYTES * dg.padded_steps,
     }
     if dg.run_path.shape[0]:
-        costs["runs"] = _RUNS_EQUIV_BYTES * dg.run_path.shape[0] + bnd
+        costs["runs"] = _RUNS_EQUIV_BYTES * dg.run_path.shape[0] + bnd(
+            dg.bnd2_w_rows > 0
+        )
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:

@@ -553,6 +553,40 @@ def sharded_ell_depth_fn(
     return query
 
 
+def compose_ell_parts_natural(
+    dg: DeviceGraph, parts, has_mid: bool, has_heavy: bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reassemble a sharded (or single-device) tiered-ELL query's
+    per-class part vectors into natural segment order on the host:
+    slice each present class to its true size, append the empty
+    class's zeros, and invert the ingest permutation ``ell_order``.
+    ``parts`` is the flat (d, u) interleaving the sharded query
+    returns: (d1, u1[, d2, u2][, dh, uh])."""
+    n = dg.num_segments
+    counts = [dg.ell_num_light]
+    if has_mid:
+        counts.append(dg.ell_num_mid)
+    if has_heavy:
+        counts.append(dg.ell_num_heavy)
+    d_parts = [np.asarray(parts[2 * i])[:c] for i, c in enumerate(counts)]
+    u_parts = [
+        np.asarray(parts[2 * i + 1])[:c] for i, c in enumerate(counts)
+    ]
+    ne = n - sum(counts)
+    d_parts.append(np.zeros(ne, np.int64))
+    u_parts.append(np.zeros(ne, np.int64))
+    d = np.concatenate(d_parts)
+    u = np.concatenate(u_parts)
+    if not dg.ell_order.shape[0]:
+        return d[:n], u[:n]
+    order = np.asarray(dg.ell_order)
+    d_nat = np.empty(n, np.int64)
+    u_nat = np.empty(n, np.int64)
+    d_nat[order] = d
+    u_nat[order] = u
+    return d_nat, u_nat
+
+
 def full_mask(num_paths: int) -> jax.Array:
     """An all-paths mask (with the padding sentinel zeroed)."""
     return jnp.concatenate(

@@ -120,16 +120,17 @@ def main():
 
         def q(mask, dg):
             # The parts form (production serving shape); fold tier-2 /
-            # heavy parts in with one-element updates so nothing is
-            # DCE'd.
+            # heavy parts into u1[-1] — the element the chained timing
+            # reads — so no part is a dead store XLA can eliminate.
             d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_parts(
                 dg, mask, pallas=True
             )
+            extra = jnp.int32(0)
             if d2 is not None:
-                u1 = u1.at[0].add(d2[-1] + u2[-1])
+                extra = extra + d2[-1] + u2[-1]
             if dh is not None:
-                u1 = u1.at[1].add(dh[-1] + uh[-1])
-            return d1, u1
+                extra = extra + dh[-1] + uh[-1]
+            return d1, u1.at[-1].add(extra)
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
         t0 = time.perf_counter()

@@ -261,6 +261,20 @@ def test_cross_rotated_output_blocks():
         np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_x))
 
 
+def test_plan_ell_tiers_no_empty_tier1():
+    """A degenerate distribution (every crossed segment has exactly 2
+    runs) must not tie-break into a plan with an empty tier-1 — the
+    ingest gate would then drop the whole index (regression)."""
+    from pollen_tpu.kernels.ellscan import plan_ell_tiers
+
+    rps = np.full(1000, 2, np.int64)
+    big = np.zeros(1000, bool)
+    k1, k2, t1, t2, heavy = plan_ell_tiers(rps, big, 128)
+    assert t1.any(), "tier-1 must hold the fitting segments"
+    assert t1.sum() + t2.sum() + heavy.sum() == 1000
+    assert not heavy.any()
+
+
 def test_ell_tall_pack_unfold_roundtrip():
     """unfold_ell_tall inverts pack_ell_tall (modulo zero column
     padding to the tall tile)."""

@@ -135,11 +135,13 @@ def test_sharded_cross_depth_matches_single(graph_path, mesh):
 
 def _sharded_ell_natural(dg, se, mesh, bools):
     """Run the sharded tiered split-ELL query and reassemble natural
-    order from the per-class parts (+ the empty class's zeros)."""
-    from pollen_tpu.parallel.sharded import sharded_ell_depth_fn
+    order via the shared composition helper."""
+    from pollen_tpu.parallel.sharded import (
+        compose_ell_parts_natural,
+        sharded_ell_depth_fn,
+    )
 
     m = jnp.asarray(bools.astype(np.int32))
-    n = dg.num_segments
     has_mid = se.ell2 is not None
     has_heavy = se.heavy is not None
     args = [se.ell]
@@ -151,29 +153,9 @@ def _sharded_ell_natural(dg, se, mesh, bools):
     parts = sharded_ell_depth_fn(
         mesh, has_heavy=has_heavy, has_mid=has_mid
     )(*args)
-    counts = [dg.ell_num_light]
-    if has_mid:
-        counts.append(dg.ell_num_mid)
-    if has_heavy:
-        counts.append(dg.ell_num_heavy)
-    d_parts = [np.asarray(parts[2 * i])[:c] for i, c in enumerate(counts)]
-    u_parts = [
-        np.asarray(parts[2 * i + 1])[:c] for i, c in enumerate(counts)
-    ]
-    ne = n - sum(counts)
-    d_parts.append(np.zeros(ne, np.int64))
-    u_parts.append(np.zeros(ne, np.int64))
-    if not dg.ell_order.shape[0]:
-        return (
-            np.concatenate(d_parts)[:n],
-            np.concatenate(u_parts)[:n],
-        )
-    order = np.asarray(dg.ell_order)
-    d_nat = np.empty(n, np.int64)
-    u_nat = np.empty(n, np.int64)
-    d_nat[order] = np.concatenate(d_parts)
-    u_nat[order] = np.concatenate(u_parts)
-    return d_nat, u_nat
+    return compose_ell_parts_natural(
+        dg, parts, has_mid=has_mid, has_heavy=has_heavy
+    )
 
 
 def test_sharded_ell_depth_matches_single(graph_path, mesh):
