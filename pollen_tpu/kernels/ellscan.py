@@ -73,10 +73,23 @@ def plan_ell_tiers(
     c_heavy = C_HEAVY_PER_PATH * p_pad
     crossed = runs_per_seg > 0
     valid = ~big_seg & crossed
+    # Tiers are charged at their RESIDENT (tall-padded) column counts:
+    # pack_ell_tall pads to SUB*TALL_W-column tiles, so a small tier
+    # with a large K is far costlier than its raw count suggests.
+    tile = SUB * TALL_W
+
+    def pad(n: int) -> int:
+        return -(-n // tile) * tile if n else 0
+
     best = None
     for k1 in (1, 2, 4, 8, 16):
         t1 = valid & (runs_per_seg <= k1)
         n1 = int(t1.sum())
+        if n1 == 0:
+            # The kernels (and the ingest gate) require a tier-1; an
+            # all-heavy plan only stands when no crossed segment fits
+            # any K (then no plan here has n1 > 0 and ELL is skipped).
+            continue
         for k2 in (0, k1 * 2, k1 * 4, k1 * 8):
             if k2 > 32:
                 continue
@@ -88,12 +101,17 @@ def plan_ell_tiers(
             n2 = int(t2.sum())
             nh = int(crossed.sum()) - n1 - n2
             cost = (
-                C_SLOT * k1 * n1
-                + C_SLOT * k2 * n2
+                C_SLOT * k1 * pad(n1)
+                + C_SLOT * k2 * pad(n2)
                 + c_heavy * nh
             )
             if best is None or cost < best[0]:
                 best = (cost, k1, k2, t2, t1)
+    if best is None:
+        # No crossed segment fits any K: everything heavy (the ingest
+        # gate then skips ELL and the dense/scan indexes serve).
+        empty = np.zeros_like(valid)
+        return 1, 0, empty, empty, crossed.copy()
     _, k1, k2, t2, t1 = best
     if not t1.any() and t2.any():
         # Degenerate tie (strict < kept an earlier plan with an empty

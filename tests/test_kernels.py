@@ -419,7 +419,6 @@ def test_ell_tiered_split_end_to_end():
     """A graph with many 1-run segments, a band of mid-popularity
     segments, and never-crossed segments makes the planner build a
     tier-2 class and an empty class; every query form stays exact."""
-    from pollen_tpu.flatgfa import parse_gfa
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_ell,
         seg_depth_with_uniq_ell_parts,
@@ -427,19 +426,45 @@ def test_ell_tiered_split_end_to_end():
         seg_depth_with_uniq_masked,
     )
 
-    n_light, n_mid, n_empty, p = 300, 50, 40, 30
-    segs = n_light + n_mid + n_empty
-    lines = [f"S\t{i + 1}\tA" for i in range(segs)]
-    path_steps = {j: [] for j in range(p)}
+    # Sized so a tier-2 genuinely pays under the tall-padded cost
+    # model (a K2 tier must amortize its 32768-column tile: ~15k+
+    # mid-popularity segments).
+    n_light, n_mid, n_empty, p = 30000, 20000, 5000, 30
+    n_segs = n_light + n_mid + n_empty
+    pairs = []  # (path, seg)
     for i in range(n_light):  # 1 run each
-        path_steps[i % p].append(i + 1)
+        pairs.append((i % p, i))
     for i in range(n_mid):  # 6 distinct paths each
         for d in range(6):
-            path_steps[(i + d * 5) % p].append(n_light + i + 1)
-    for j in range(p):
-        steps = ",".join(f"{s}+" for s in path_steps[j])
-        lines.append(f"P\tp{j}\t{steps}\t*")
-    g = parse_gfa(("\n".join(lines) + "\n").encode())
+            pairs.append(((i + d * 7) % p, n_light + i))
+    pairs.sort()
+    path_ids = np.array([pp for pp, _ in pairs], np.int64)
+    seg_ids = np.array([s for _, s in pairs], np.uint32)
+    counts = np.bincount(path_ids, minlength=p)
+    bounds = np.concatenate(([0], np.cumsum(counts))).astype(np.uint32)
+    from pollen_tpu.flatgfa import GraphArrays
+
+    seg_lens = np.ones(n_segs, np.uint32)
+    seq_bounds = np.arange(n_segs + 1, dtype=np.uint32)
+    g = GraphArrays(
+        header=np.zeros(0, np.uint8),
+        seg_name=np.arange(1, n_segs + 1, dtype=np.int64),
+        seg_seq=np.stack([seq_bounds[:-1], seq_bounds[1:]], axis=1),
+        seg_optional=np.zeros((n_segs, 2), np.uint32),
+        path_name=np.zeros((p, 2), np.uint32),
+        path_steps=np.stack([bounds[:-1], bounds[1:]], axis=1),
+        path_overlaps=np.zeros((p, 2), np.uint32),
+        link_from=np.zeros(0, np.uint32),
+        link_to=np.zeros(0, np.uint32),
+        link_overlap=np.zeros((0, 2), np.uint32),
+        steps=seg_ids << np.uint32(1),
+        seq_data=np.zeros(n_segs, np.uint8),
+        overlaps=np.zeros((0, 2), np.uint32),
+        alignment=np.zeros(0, np.uint32),
+        name_data=np.zeros(0, np.uint8),
+        optional_data=np.zeros(0, np.uint8),
+        line_order=np.zeros(0, np.uint8),
+    )
     dg = build_device_graph(g, cross_matrix="always")
     assert dg.ell_k2 > 0 and dg.cross_ell2.size
     assert dg.ell_num_mid > 0
