@@ -261,6 +261,38 @@ def test_cross_rotated_output_blocks():
         np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_x))
 
 
+def test_plan_ell_tiers_properties():
+    """Fuzz the tier planner's invariants: the classes partition the
+    crossed segments, tier members fit their slot counts, big-count
+    segments always go heavy, and tier-1 is nonempty whenever any
+    crossed segment fits some K."""
+    from pollen_tpu.kernels.ellscan import plan_ell_tiers
+
+    rng = np.random.default_rng(71)
+    for _ in range(20):
+        n = int(rng.integers(1, 5000))
+        rps = rng.zipf(1.5, size=n).astype(np.int64) - 1
+        big = rng.random(n) < 0.01
+        big &= rps > 0
+        p_pad = int(rng.choice([128, 256, 1024]))
+        k1, k2, t1, t2, heavy = plan_ell_tiers(rps, big, p_pad)
+        crossed = rps > 0
+        # Partition: disjoint, union == crossed minus nothing.
+        assert not (t1 & t2).any()
+        assert not (t1 & heavy).any()
+        assert not (t2 & heavy).any()
+        np.testing.assert_array_equal(t1 | t2 | heavy, crossed)
+        # Members fit their slots; big counts are never tiered.
+        assert (rps[t1] <= k1).all()
+        if k2:
+            assert (rps[t2] > k1).all() and (rps[t2] <= k2).all()
+        else:
+            assert not t2.any()
+        assert not (t1 & big).any() and not (t2 & big).any()
+        if (crossed & ~big & (rps <= 16)).any():
+            assert t1.any()
+
+
 def test_plan_ell_tiers_no_empty_tier1():
     """A degenerate distribution (every crossed segment has exactly 2
     runs) must not tie-break into a plan with an empty tier-1 — the
