@@ -253,6 +253,11 @@ def build_device_graph(
     depth kernels (benchmarks; avoids paying transfer cost for pools the
     measured kernel never reads).
 
+    ``device="host"`` keeps every array as host numpy — nothing touches
+    a backend. Callers (bench.py) use this to run the cost model and
+    then ship ONLY the chosen index's tensors: through a degraded
+    tunnel, uploading the unused indexes costs minutes.
+
     ``cross_matrix``: "auto" builds the dense crossing matrix (gather-
     free masked depth, kernels/crossmat.py) when it fits the
     POLLEN_CROSS_BUDGET_MB budget (default 256); "always"/"never"
@@ -602,42 +607,53 @@ def build_device_graph(
         endpoints, np.arange(n + 1, dtype=np.int32)
     ).astype(np.int32)
 
-    put = partial(jax.device_put, device=device)
-    empty32 = jnp.zeros(0, dtype=jnp.int32)
+    if device == "host":
+        # Host mode: plain numpy leaves; no backend is touched.
+        def put(x):
+            return x
+
+        def asarr(x, dtype=None):
+            return np.asarray(x, dtype=dtype)
+
+        empty32 = np.zeros(0, dtype=np.int32)
+    else:
+        put = partial(jax.device_put, device=device)
+        asarr = jnp.asarray
+        empty32 = jnp.zeros(0, dtype=jnp.int32)
     return DeviceGraph(
-        steps=put(jnp.asarray(g.steps, dtype=jnp.uint32))
+        steps=put(asarr(g.steps, dtype=jnp.uint32))
         if not minimal
         else empty32.astype(jnp.uint32),
-        step_path=put(jnp.asarray(step_path)) if not minimal else empty32,
-        path_bounds=put(jnp.asarray(path_bounds)),
-        seg_len=put(jnp.asarray(g.seg_len, dtype=jnp.int32))
+        step_path=put(asarr(step_path)) if not minimal else empty32,
+        path_bounds=put(asarr(path_bounds)),
+        seg_len=put(asarr(g.seg_len, dtype=jnp.int32))
         if not minimal
         else empty32,
-        link_from=put(jnp.asarray(g.link_from, dtype=jnp.uint32)),
-        link_to=put(jnp.asarray(g.link_to, dtype=jnp.uint32)),
-        perm=put(jnp.asarray(perm)) if not minimal else empty32,
-        step_path_sorted=put(jnp.asarray(path_sorted)),
-        seg_bounds=put(jnp.asarray(seg_bounds)),
-        run_start=put(jnp.asarray(run_start)),
-        run_path=put(jnp.asarray(run_path)) if not minimal else empty32,
-        run_count=put(jnp.asarray(run_count)) if not minimal else empty32,
-        run_seg_bounds=put(jnp.asarray(run_seg_bounds)),
-        link_seg_bounds=put(jnp.asarray(link_seg_bounds)),
-        cross_matrix=put(jnp.asarray(cross)),
-        cross_res=put(jnp.asarray(cross_res)),
-        cross_res_seg=put(jnp.asarray(cross_res_seg)),
-        cross_ell=put(jnp.asarray(ell)),
-        cross_ell2=put(jnp.asarray(ell2)),
-        ell_order=put(jnp.asarray(ell_order)),
-        ell_heavy=put(jnp.asarray(ell_heavy)),
-        ell_heavy_res=put(jnp.asarray(ell_heavy_res)),
-        ell_heavy_res_col=put(jnp.asarray(ell_heavy_res_col)),
-        bnd_row_start=put(jnp.asarray(bnd_row_start)),
-        bnd_loc=put(jnp.asarray(bnd_loc)),
-        bnd_over_bounds=put(jnp.asarray(bnd_over_bounds)),
-        bnd2_row_start=put(jnp.asarray(bnd2_row_start)),
-        bnd2_loc=put(jnp.asarray(bnd2_loc)),
-        bnd2_over_bounds=put(jnp.asarray(bnd2_over_bounds)),
+        link_from=put(asarr(g.link_from, dtype=jnp.uint32)),
+        link_to=put(asarr(g.link_to, dtype=jnp.uint32)),
+        perm=put(asarr(perm)) if not minimal else empty32,
+        step_path_sorted=put(asarr(path_sorted)),
+        seg_bounds=put(asarr(seg_bounds)),
+        run_start=put(asarr(run_start)),
+        run_path=put(asarr(run_path)) if not minimal else empty32,
+        run_count=put(asarr(run_count)) if not minimal else empty32,
+        run_seg_bounds=put(asarr(run_seg_bounds)),
+        link_seg_bounds=put(asarr(link_seg_bounds)),
+        cross_matrix=put(asarr(cross)),
+        cross_res=put(asarr(cross_res)),
+        cross_res_seg=put(asarr(cross_res_seg)),
+        cross_ell=put(asarr(ell)),
+        cross_ell2=put(asarr(ell2)),
+        ell_order=put(asarr(ell_order)),
+        ell_heavy=put(asarr(ell_heavy)),
+        ell_heavy_res=put(asarr(ell_heavy_res)),
+        ell_heavy_res_col=put(asarr(ell_heavy_res_col)),
+        bnd_row_start=put(asarr(bnd_row_start)),
+        bnd_loc=put(asarr(bnd_loc)),
+        bnd_over_bounds=put(asarr(bnd_over_bounds)),
+        bnd2_row_start=put(asarr(bnd2_row_start)),
+        bnd2_loc=put(asarr(bnd2_loc)),
+        bnd2_over_bounds=put(asarr(bnd2_over_bounds)),
         num_segments=n,
         num_paths=p,
         cross_nibble=use_nibble,
