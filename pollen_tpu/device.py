@@ -520,6 +520,7 @@ def build_device_graph(
     # Pad the sorted and run indexes to the Pallas block size: pad
     # entries use a sentinel path id (= p, masked to 0) / zero counts,
     # and they sit beyond the boundary tables so diffs never see them.
+    from .kernels.runscan import BLOCK as run_blk
     from .kernels.segscan import BLOCK as blk
     s_pad = -(-max(s, 1) // blk) * blk
     path_sorted = np.concatenate(
@@ -529,7 +530,11 @@ def build_device_graph(
         [run_start, np.arange(s, s_pad, dtype=np.int32)]
     )
     r = run_path.shape[0]
-    r_pad = -(-max(r, 1) // blk) * blk
+    # The run arrays feed BOTH the runscan kernel (its own BLOCK) and
+    # XLA reductions; pad to the lcm so a retune of either kernel's
+    # block size keeps every consumer's divisibility assert satisfied.
+    r_blk = int(np.lcm(blk, run_blk))
+    r_pad = -(-max(r, 1) // r_blk) * r_blk
     run_path = np.concatenate([run_path, np.full(r_pad - r, p, np.int32)])
     run_count = np.concatenate(
         [run_count, np.zeros(r_pad - r, np.int32)]

@@ -48,16 +48,21 @@ COUNT_MAX = (1 << COUNT_BITS) - 1
 # Measured equivalent-streamed-byte weights (probes/RESULTS.txt, bench
 # shape): a tall ELL slot costs ~12 equiv B (4 B DMA + the VPU select
 # chain), a dense nibble heavy column ~1.75 equiv B per path row (the
-# unpack VPU work dominates its 0.5 B/cell DMA).
+# unpack VPU work dominates its 0.5 B/cell DMA). C_HEAVY_PER_BYTE is
+# the same measurement per packed byte (two path rows per byte) — the
+# query-time router (ops/depth.py _masked_impl_costs) charges heavy
+# bytes with it so ingest planning and query routing optimize one
+# objective.
 C_SLOT = 12.0
 C_HEAVY_PER_PATH = 1.75
+C_HEAVY_PER_BYTE = 2 * C_HEAVY_PER_PATH
 
 
 def plan_ell_tiers(
     runs_per_seg: np.ndarray,
     big_seg: np.ndarray,
     p_pad: int,
-) -> Tuple[int, int, np.ndarray, np.ndarray]:
+) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     """Three-way split (sliced-ELL style): tier-1 columns get K1 slots,
     tier-2 columns K2 > K1 slots, the rest go dense ("heavy"). Crossing
     counts follow a Zipf law, so one small K wastes dense work on the
@@ -113,13 +118,9 @@ def plan_ell_tiers(
         empty = np.zeros_like(valid)
         return 1, 0, empty, empty, crossed.copy()
     _, k1, k2, t2, t1 = best
-    if not t1.any() and t2.any():
-        # Degenerate tie (strict < kept an earlier plan with an empty
-        # tier-1, e.g. every crossed segment has exactly 2 runs and
-        # k1=1/k2=2 ties with k1=2 alone): promote tier-2 to tier-1 so
-        # the ingest gate (`if nl`) does not drop the whole index.
-        k1, t1 = k2, t2
-        k2, t2 = 0, np.zeros_like(t2)
+    # Every candidate plan with an empty tier-1 was skipped above, so
+    # the ingest gate (`if nl`) can never drop a selected index.
+    assert t1.any()
     heavy = crossed & ~t1 & ~t2
     return k1, k2, t1, t2, heavy
 

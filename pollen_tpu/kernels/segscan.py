@@ -18,7 +18,10 @@ Design notes (why this shape):
   step). Larger path counts fall back to a one-hot x mask matvec on the
   MXU (~P MACs per step — the MACs are free, but *building* the 3-D
   one-hot costs ~2 VPU ops per step per 128 paths, which measured ~10x
-  slower than the bit select at P=128: 9.7 ms vs TBD per 2^22 steps).
+  the bit select's cumsum-stage cost at P=128: 9.7 ms per 2^22 steps
+  for the one-hot kernel vs ~1 ms with the bit select — the r3 scanb
+  probe's 2.1 ms/query is the bit-select kernel plus its planned
+  boundary stage; probes/RESULTS.txt).
 * "First selected step in my group" normally needs a segmented scan with
   a gather at each group start. Because groups are contiguous and the
   cumsum is non-decreasing, the gather is replaced by a *prefix max*:

@@ -402,11 +402,16 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
         # measured TPU probe of the tall layout: 9.7 us/query at 2^19
         # slots with n_words = 4 == ~12 equivalent streamed bytes per
         # slot (probes/RESULTS.txt, elltall stage).
+        from ..kernels.ellscan import C_HEAVY_PER_BYTE
+
         n_words = -(-max(dg.num_paths, 1) // 32)
         per_slot = 4 + 2 * n_words
         costs["ell"] = (
             per_slot * (dg.cross_ell.size + dg.cross_ell2.size)
-            + 2 * dg.ell_heavy.size  # nibble sub-matrix: DMA + unpack
+            # Nibble sub-matrix: DMA + unpack, charged at the SAME
+            # measured per-byte cost the ingest tier planner uses
+            # (kernels/ellscan.py) so split and routing agree.
+            + C_HEAVY_PER_BYTE * dg.ell_heavy.size
             + 8 * dg.ell_heavy_res.size
         )
     return costs

@@ -31,10 +31,11 @@ def _random_case(s, p, n, seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-# p=60/200 ride the packed-word bit-select mask mode; p=2300 pads to
-# 2304 paths (72 words > MAX_SELECT_WORDS) and exercises the one-hot
-# matvec fallback.
-@pytest.mark.parametrize("p", [60, 200, 2300])
+# p=60/200 ride the packed-word bit-select mask mode; p=2040 pads to
+# 2048 paths = exactly MAX_SELECT_WORDS (64) packed words, pinning the
+# deepest select-chain boundary; p=2300 pads to 2304 paths (72 words)
+# and exercises the one-hot matvec fallback.
+@pytest.mark.parametrize("p", [60, 200, 2040, 2300])
 def test_kernel_matches_bruteforce(seed, p):
     from pollen_tpu.kernels.segscan import BLOCK
 
