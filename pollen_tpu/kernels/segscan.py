@@ -126,7 +126,9 @@ def _flat_cummax(x: jax.Array) -> jax.Array:
     return jnp.maximum(rows, prefix)
 
 
-def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words):
+def _kernel(
+    hc_ref, ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words
+):
     from jax.experimental import pallas as pl
 
     block = pl.program_id(0)
@@ -135,7 +137,10 @@ def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words):
     @pl.when(block == 0)
     def _init():
         carry[0] = jnp.int32(0)  # total selected steps so far
-        carry[1] = jnp.int32(0)  # selected steps in the open group
+        # Selected steps in the open group: nonzero when the caller is
+        # a shard whose leading group began on a device to its left
+        # (sharded_seg_depth_fused_fn's decoupled lookback carry).
+        carry[1] = hc_ref[0]
         carry[2] = jnp.int32(0)  # total first-flags so far
 
     carry_w = carry[0]
@@ -236,11 +241,19 @@ def _kernel(ids_ref, rs_ref, mask_ref, csw_ref, csf_ref, carry, *, n_words):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def masked_depth_cumsums(
     path_sorted: jax.Array,  # int32[S_pad], S_pad % (ROWS*LANES) == 0
-    run_start: jax.Array,  # int32[S_pad] global group-start positions
+    run_start: jax.Array,  # int32[S_pad] group-start positions
     mask: jax.Array,  # int32[P_pad], P_pad % 128 == 0, 0/1 entries
     interpret: bool = False,
+    head_carry: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(csum_w, csum_first), both inclusive int32[S_pad]."""
+    """(csum_w, csum_first), both inclusive int32[S_pad].
+
+    ``head_carry`` (scalar int32, default 0) is the number of selected
+    steps of position 0's group that live BEFORE this array — sharded
+    callers pass their cross-chunk lookback carry so a straddling
+    group's first-selected flag fires on exactly one device. With a
+    nonzero carry, ``run_start`` must be local positions (entries of
+    left-started groups negative, never matching any position)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -269,10 +282,20 @@ def masked_depth_cumsums(
     # lower. Every dtype in the kernel is explicit, so semantics are
     # unchanged.
     with jax.enable_x64(False):
+        hc = (
+            jnp.zeros(1, jnp.int32)
+            if head_carry is None
+            else jnp.reshape(head_carry, (1,)).astype(jnp.int32)
+        )
         csw, csf = pl.pallas_call(
             functools.partial(_kernel, n_words=n_words),
             grid=(s // t,),
-            in_specs=[block, block, mask_spec],
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block,
+                block,
+                mask_spec,
+            ],
             out_specs=(block, block),
             out_shape=(
                 jax.ShapeDtypeStruct(shape2d, jnp.int32),
@@ -281,6 +304,7 @@ def masked_depth_cumsums(
             scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
             interpret=interpret,
         )(
+            hc,
             path_sorted.reshape(shape2d),
             run_start.reshape(shape2d),
             mask_arg,

@@ -77,13 +77,19 @@ class ShardedGraph:
     chunk: int
 
 
-def shard_device_graph(dg: DeviceGraph, mesh: Mesh) -> ShardedGraph:
-    """Lay a DeviceGraph's sorted index out across a mesh."""
+def shard_device_graph(
+    dg: DeviceGraph, mesh: Mesh, block: int = 1
+) -> ShardedGraph:
+    """Lay a DeviceGraph's sorted index out across a mesh.
+
+    ``block``: pad each device's chunk to a multiple of this (the fused
+    per-shard Pallas scan needs chunks divisible by its BLOCK)."""
     n_dev = mesh.size
     path_sorted = np.asarray(dg.step_path_sorted)  # already block-padded
     run_start = np.asarray(dg.run_start)
     s = path_sorted.shape[0]
-    s_pad = -(-max(s, 1) // n_dev) * n_dev
+    chunk = -(-max(s, 1) // (n_dev * block)) * block
+    s_pad = chunk * n_dev
     pad = s_pad - s
     # Sentinel padding: fake path (mask 0), each pad step its own group.
     path_sorted = np.concatenate(
@@ -257,6 +263,99 @@ def sharded_seg_depth_scatter_fn(mesh: Mesh):
     return query
 
 
+def sharded_seg_depth_fused_fn(mesh: Mesh, interpret: bool = False):
+    """Mesh-wide (depth, uniq) with the fused Pallas segmented scan
+    running per shard — the production sharded form of the scan-family
+    fallback (the only index once P and the ELL/crossing budgets are
+    all exceeded). Structure:
+
+    1. each device computes its tail-group masked count with one cheap
+       XLA reduction (no cumsum),
+    2. one tiny all-gather of (tail-group id, count) pairs gives every
+       device its head-group lookback carry,
+    3. the fused kernel (kernels/segscan.py) runs over the local chunk
+       with that carry as its open-group initializer — bit-select mask
+       lookup, triangular-matmul cumsums, first-flag prefix-max — so a
+       straddling group's first-selected flag fires on exactly one
+       device,
+    4. local boundary differences, merged with psum over ICI.
+
+    Requires chunks padded to the kernel block
+    (``shard_device_graph(dg, mesh, block=segscan.BLOCK)``).
+    ``interpret=True`` for CPU meshes (tests, dry runs).
+    """
+    from ..kernels.segscan import BLOCK, masked_depth_cumsums
+
+    @jax.jit
+    def query(sg: ShardedGraph, mask_ext: jax.Array):
+        def worker(path_chunk, run_start, seg_bounds, chunk_starts, mask):
+            idx = jax.lax.axis_index(STEP_AXES)
+            chunk_start = chunk_starts[idx]
+            c_size = path_chunk.shape[0]
+            assert c_size % BLOCK == 0, (
+                "shard with shard_device_graph(..., block=segscan.BLOCK)"
+            )
+            w = mask[path_chunk]
+            head_key = run_start[0]
+            tail_key = run_start[-1]
+            tail_count = jnp.sum(w * (run_start == tail_key))
+            keys = jax.lax.all_gather(
+                tail_key, STEP_AXES, tiled=False
+            ).reshape(-1)
+            counts = jax.lax.all_gather(
+                tail_count, STEP_AXES, tiled=False
+            ).reshape(-1)
+            my_index = chunk_start // c_size
+            from_left = jnp.arange(keys.shape[0]) < my_index
+            carry = jnp.sum(
+                jnp.where(from_left & (keys == head_key), counts, 0)
+            )
+            # Kernel inputs are local: left-started groups get negative
+            # start positions (never matching a local position).
+            local_rs = (run_start - chunk_start).astype(jnp.int32)
+            p_pad = -(-mask.shape[0] // 128) * 128
+            mask128 = (
+                jnp.zeros(p_pad, jnp.int32)
+                .at[: mask.shape[0]]
+                .set(mask.astype(jnp.int32))
+            )
+            csw, csf = masked_depth_cumsums(
+                path_chunk.astype(jnp.int32),
+                local_rs,
+                mask128,
+                interpret=interpret,
+                head_carry=carry,
+            )
+            padded_w = jnp.concatenate([jnp.zeros(1, csw.dtype), csw])
+            padded_f = jnp.concatenate([jnp.zeros(1, csf.dtype), csf])
+            lo = jnp.clip(seg_bounds[:-1] - chunk_start, 0, c_size)
+            hi = jnp.clip(seg_bounds[1:] - chunk_start, 0, c_size)
+            d = padded_w[hi] - padded_w[lo]
+            u = padded_f[hi] - padded_f[lo]
+            return (
+                jax.lax.psum(d, STEP_AXES),
+                jax.lax.psum(u, STEP_AXES),
+            )
+
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=(P(STEP_AXES), P(STEP_AXES), P(), P(), P()),
+            out_specs=(P(), P()),
+            # pallas_call outputs carry no varying-mesh-axes metadata;
+            # the collectives here are explicit, so skip vma checking.
+            check_vma=False,
+        )(
+            sg.step_path_sorted,
+            sg.run_start,
+            sg.seg_bounds,
+            sg.chunk_starts,
+            mask_ext,
+        )
+
+    return query
+
+
 def sharded_degree_fn(mesh: Mesh):
     """Mesh-wide degree: link-endpoint chunks sharded, boundary table
     replicated, partial histograms merged with psum."""
@@ -380,13 +479,17 @@ def sharded_cross_depth_fn(mesh: Mesh, nibble: bool = False):
             )
             depth = depth.astype(jnp.int32)
             uniq = uniq.astype(jnp.int32)
-            # Residual remainders for my column range only: shifted
-            # indices outside [0, width) — including the sidecar's
-            # sentinel padding — are dropped by the scatter. The
-            # sidecar is indexed by original path order.
+            # Residual remainders for my column range only. mode="drop"
+            # only drops indices PAST the end — negative shifted
+            # indices wrap around (numpy semantics) and would land
+            # other devices' residuals in my first columns — so remap
+            # every out-of-range index to `width` (one past the end).
             if res_seg.shape[0]:
                 fix = jnp.sum(res * mask[:, None], axis=0, dtype=jnp.int32)
                 local = res_seg - idx * width
+                local = jnp.where(
+                    (local >= 0) & (local < width), local, width
+                )
                 depth = depth.at[local].add(fix, mode="drop")
             return depth, uniq
 
@@ -530,7 +633,13 @@ def sharded_ell_depth_fn(
                     fix = jnp.sum(
                         res * mp[:, None], axis=0, dtype=jnp.int32
                     )
-                    local = res_col - idx * h.shape[1]
+                    # Remap out-of-range (incl. negative — they would
+                    # WRAP, not drop) indices past the end.
+                    w_h = h.shape[1]
+                    local = res_col - idx * w_h
+                    local = jnp.where(
+                        (local >= 0) & (local < w_h), local, w_h
+                    )
                     depth_h = depth_h.at[local].add(fix, mode="drop")
                 outs += [depth_h, uniq_h]
             return tuple(outs)

@@ -221,3 +221,121 @@ def test_sharded_cross_overflow(mesh):
     )
     assert np.asarray(d_c)[:2].tolist() == [300, 2]
     assert np.asarray(u_c)[:2].tolist() == [1, 1]
+
+
+def test_sharded_fused_scan_matches_single(mesh):
+    """The per-shard fused Pallas scan (interpret mode on the CPU mesh)
+    with the head-carry lookback must match the XLA sharded pipeline
+    and the single-device reference, on a graph whose (segment, path)
+    groups straddle chunk boundaries."""
+    from pollen_tpu.kernels.segscan import BLOCK
+    from pollen_tpu.parallel.sharded import sharded_seg_depth_fused_fn
+
+    rng = np.random.default_rng(11)
+    n_steps, n_segs, n_paths = 4 * BLOCK, 200, 24
+    import bench
+
+    _, dg = bench.synth_device_graph(n_steps, n_segs, n_paths)
+    sg = shard_device_graph(dg, mesh, block=BLOCK)
+    assert sg.chunk % BLOCK == 0
+    # Zipf crossings guarantee straddles; confirm at least one.
+    rs = np.asarray(sg.run_start)
+    starts = [sg.chunk * d for d in range(1, mesh.size)]
+    assert any(rs[s] < s for s in starts), "no straddling group"
+
+    mask = np.zeros(n_paths + 1, np.int32)
+    mask[:n_paths] = rng.integers(0, 2, n_paths)
+    q_fused = sharded_seg_depth_fused_fn(mesh, interpret=True)
+    q_xla = sharded_seg_depth_fn(mesh)
+    d_f, u_f = q_fused(sg, jnp.asarray(mask))
+    d_x, u_x = q_xla(sg, jnp.asarray(mask))
+    d_1, u_1 = depth_op.seg_depth_with_uniq_masked(
+        dg, jnp.asarray(mask[:-1].astype(bool))
+    )
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_1))
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_1))
+
+
+def test_head_carry_kernel_semantics():
+    """masked_depth_cumsums with head_carry: the first-selected flag of
+    a left-straddling group must not fire when the carry says selected
+    steps already occurred to the left."""
+    from pollen_tpu.kernels.segscan import BLOCK, masked_depth_cumsums
+
+    # One group spanning the whole (local) chunk, path 3 selected.
+    path = np.full(BLOCK, 3, np.int32)
+    rs = np.full(BLOCK, -5, np.int32)  # group began 5 positions left
+    mask = np.zeros(128, np.int32)
+    mask[3] = 1
+    _, csf0 = masked_depth_cumsums(
+        jnp.asarray(path), jnp.asarray(rs), jnp.asarray(mask),
+        interpret=True, head_carry=jnp.int32(0),
+    )
+    _, csf2 = masked_depth_cumsums(
+        jnp.asarray(path), jnp.asarray(rs), jnp.asarray(mask),
+        interpret=True, head_carry=jnp.int32(2),
+    )
+    assert int(csf0[-1]) == 1  # carry 0: this chunk holds the first
+    assert int(csf2[-1]) == 0  # carry 2: first fired on a left device
+
+
+def test_sharded_residual_wrap_regression(mesh):
+    """Clip-overflow residual columns owned by a LATER device must not
+    wrap (negative scatter index) into an earlier-devices' column range
+    (regression: mode='drop' drops past-the-end, negatives wrap)."""
+    from pollen_tpu.flatgfa import GraphArrays
+    from pollen_tpu.ops.depth import seg_depth_with_uniq_masked
+    from pollen_tpu.parallel.sharded import (
+        shard_cross_inputs,
+        sharded_cross_depth_fn,
+    )
+
+    n_segs, n_paths = 1024, 4
+    # Path 0: 20 crossings of segment 600 (overflows the nibble clip of
+    # 15 -> residual sidecar col on device 600 // 128 = 4) + one step on
+    # segment 0. Other paths: one step each on segment 0.
+    segs = np.array([600] * 20 + [0, 0, 0, 0], np.uint32)
+    steps = segs << np.uint32(1)
+    path_steps = np.array(
+        [[0, 21], [21, 22], [22, 23], [23, 24]], np.uint32
+    )
+    seg_lens = np.ones(n_segs, np.uint32)
+    sb = np.concatenate(([0], np.cumsum(seg_lens))).astype(np.uint32)
+    g = GraphArrays(
+        header=np.zeros(0, np.uint8),
+        seg_name=np.arange(1, n_segs + 1, dtype=np.int64),
+        seg_seq=np.stack([sb[:-1], sb[1:]], axis=1),
+        seg_optional=np.zeros((n_segs, 2), np.uint32),
+        path_name=np.zeros((n_paths, 2), np.uint32),
+        path_steps=path_steps,
+        path_overlaps=np.zeros((n_paths, 2), np.uint32),
+        link_from=np.zeros(0, np.uint32),
+        link_to=np.zeros(0, np.uint32),
+        steps=steps,
+        link_overlap=np.zeros((0, 2), np.uint32),
+        seq_data=np.zeros(int(sb[-1]), np.uint8),
+        overlaps=np.zeros((0, 2), np.uint32),
+        alignment=np.zeros(0, np.uint32),
+        name_data=np.zeros(0, np.uint8),
+        optional_data=np.zeros(0, np.uint8),
+        line_order=np.zeros(0, np.uint8),
+    )
+    dg = build_device_graph(g)
+    assert np.asarray(dg.cross_res_seg)[0] == 600  # overflow col exists
+    sc = shard_cross_inputs(dg, mesh)
+    assert sc is not None and 600 // sc.col_width > 0
+    mask = jnp.ones(sc.num_paths_padded, jnp.int32).at[n_paths:].set(0)
+    d_c, u_c = sharded_cross_depth_fn(mesh, nibble=sc.nibble)(
+        sc.cross, sc.res, sc.res_seg, mask
+    )
+    d_ref, u_ref = seg_depth_with_uniq_masked(
+        dg, jnp.ones(n_paths, bool)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_c)[:n_segs], np.asarray(d_ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_c)[:n_segs], np.asarray(u_ref)
+    )
