@@ -136,35 +136,111 @@ def parse_gaf_file(filename: str, g: GraphArrays) -> GafReads:
 
 # Streaming window size: keeps memory O(window) for multi-GB read sets
 # (reference analogue: gaf.rs:73-103's mmap iterator / rayon stream).
-DEFAULT_GAF_WINDOW = 64 << 20
+# Small windows are also FASTER: the vectorized parser's per-char
+# temporaries fit cache (measured 54.6 MB/s at 1 MB vs 4.6 MB/s at the
+# old 64 MB on a 2-core host; the sweep is in docs/benchmarks.md).
+DEFAULT_GAF_WINDOW = 2 << 20
 
 
-def iter_gaf_windows(
-    filename: str,
-    names: NameIndex,
-    window_bytes: int = DEFAULT_GAF_WINDOW,
-):
-    """Yield :class:`GafReads` batches, one per ~window_bytes of file.
-
-    Lines never straddle windows (the tail past the last newline
-    carries into the next window), so every yielded batch is a
-    self-contained set of reads and peak memory stays O(window) no
-    matter the file size."""
+def _iter_gaf_blocks(filename: str, window_bytes: int):
+    """Yield newline-aligned byte windows of ~window_bytes each."""
     with open(filename, "rb") as f:
         carry = b""
         while True:
             block = f.read(window_bytes)
             if not block:
                 if carry.strip():
-                    yield parse_gaf(carry, names)
+                    yield carry
                 return
             data = carry + block
             cut = data.rfind(b"\n")
             if cut < 0:
                 carry = data
                 continue
-            yield parse_gaf(data[: cut + 1], names)
+            yield data[: cut + 1]
             carry = data[cut + 1 :]
+
+
+def default_gaf_workers() -> int:
+    """Worker processes for parallel GAF parsing (reference analogue:
+    the rayon ParallelIterator over GAFParser, gaf.rs:93-103).
+    POLLEN_GAF_WORKERS overrides; default = CPU count."""
+    import os
+
+    v = os.environ.get("POLLEN_GAF_WORKERS")
+    if v is not None:
+        return max(1, int(v))
+    return max(1, os.cpu_count() or 1)
+
+
+# Per-worker parse state: the NameIndex ships once at pool startup
+# (initializer), not once per window.
+_WORKER_NAMES: dict = {}
+
+
+def _gaf_worker_init(names: NameIndex) -> None:
+    _WORKER_NAMES["names"] = names
+
+
+def _gaf_worker_parse(block: bytes) -> GafReads:
+    return parse_gaf(block, _WORKER_NAMES["names"])
+
+
+def iter_gaf_windows(
+    filename: str,
+    names: NameIndex,
+    window_bytes: int = DEFAULT_GAF_WINDOW,
+    workers: int | None = None,
+):
+    """Yield :class:`GafReads` batches, one per ~window_bytes of file.
+
+    Lines never straddle windows (the tail past the last newline
+    carries into the next window), so every yielded batch is a
+    self-contained set of reads and peak memory stays O(window) no
+    matter the file size.
+
+    Multi-window files parse in parallel across ``workers`` processes
+    (shard + ordered merge, the same structure as the native GFA
+    scanner's phase split and the reference's rayon GAFParser,
+    gaf.rs:93-103): a bounded number of in-flight windows keeps memory
+    O(workers * window) while results yield in file order. Single-
+    window files skip the pool entirely. The numpy parser holds the
+    GIL, so threads do not help — worker processes are spawned (never
+    forked: the parent may hold an initialized device backend).
+    """
+    auto = workers is None
+    if auto:
+        workers = default_gaf_workers()
+    import os
+
+    # Worker startup costs ~2 s each (spawn re-imports the interpreter
+    # profile, which pre-imports jax); at the measured ~50 MB/s/core
+    # parse rate it only amortizes past a few hundred MB of file. An
+    # explicit ``workers`` request always gets the pool.
+    small = os.path.getsize(filename) <= max(4 * window_bytes, 256 << 20)
+    if workers <= 1 or (auto and small):
+        for block in _iter_gaf_blocks(filename, window_bytes):
+            yield parse_gaf(block, names)
+        return
+
+    import multiprocessing as mp
+    from collections import deque
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = mp.get_context("spawn")
+    with ProcessPoolExecutor(
+        workers,
+        mp_context=ctx,
+        initializer=_gaf_worker_init,
+        initargs=(names,),
+    ) as ex:
+        pending: deque = deque()
+        for block in _iter_gaf_blocks(filename, window_bytes):
+            pending.append(ex.submit(_gaf_worker_parse, block))
+            while len(pending) > workers:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
 
 
 # ---------------------------------------------------------------------------
@@ -332,20 +408,66 @@ def _revcomp(seq: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _pangenotype_row(
+    path: str, names: NameIndex, n_segs: int, window_bytes: int
+) -> np.ndarray:
+    row = np.zeros(n_segs, dtype=bool)
+    # Within one worker the windows stream sequentially (workers=1):
+    # the outer per-file pool owns the parallelism.
+    for reads in iter_gaf_windows(path, names, window_bytes, workers=1):
+        row[(reads.steps >> 1).astype(np.int64)] = True
+    return row
+
+
+def _pg_worker(args) -> np.ndarray:
+    path, n_segs, window_bytes = args
+    return _pangenotype_row(
+        path, _WORKER_NAMES["names"], n_segs, window_bytes
+    )
+
+
 def pangenotype_matrix(
     g: GraphArrays,
     gaf_files: List[str],
     window_bytes: int = DEFAULT_GAF_WINDOW,
+    workers: int | None = None,
 ) -> np.ndarray:
     """bool[samples, N]: does each read set touch each segment?
 
     Streams each GAF in windows — memory is O(window + matrix), not
-    O(read set)."""
+    O(read set). Multiple files parse in parallel worker processes
+    (reference analogue: the rayon-parallel read loop,
+    cli/cmds.rs:339-347), each returning only its N-byte row — the
+    cheapest possible merge."""
+    auto = workers is None
+    if auto:
+        workers = default_gaf_workers()
     out = np.zeros((len(gaf_files), g.num_segments), dtype=bool)
     names = g.seg_id_by_name()
+    import os
+
+    total = sum(os.path.getsize(p) for p in gaf_files)
+    big = total > (64 << 20) or not auto
+    if workers > 1 and len(gaf_files) > 1 and big:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(
+            min(workers, len(gaf_files)),
+            mp_context=ctx,
+            initializer=_gaf_worker_init,
+            initargs=(names,),
+        ) as ex:
+            rows = ex.map(
+                _pg_worker,
+                [(p, g.num_segments, window_bytes) for p in gaf_files],
+            )
+            for i, row in enumerate(rows):
+                out[i] = row
+        return out
     for i, path in enumerate(gaf_files):
-        for reads in iter_gaf_windows(path, names, window_bytes):
-            out[i, (reads.steps >> 1).astype(np.int64)] = True
+        out[i] = _pangenotype_row(path, names, g.num_segments, window_bytes)
     return out
 
 

@@ -306,3 +306,64 @@ def test_window_depth_matches_two_pointer_spec(seed, window):
     assert len(got_lines) == len(windows)
     for line, w, value in zip(got_lines, windows, want):
         assert line == f"{name}\t{w[0]}\t{w[1]}\t{format_float(value, 4)}"
+
+
+def test_gaf_parallel_windows_identical(tmp_path):
+    """Process-parallel window parsing (shard + ordered merge) yields
+    the same batches, in the same order, as the sequential path."""
+    from pollen_tpu.ops.gaf import iter_gaf_windows
+
+    g, _ = _graph()
+    names = g.seg_id_by_name()
+    lines = []
+    for i in range(400):
+        lines.append(f"r{i}\t14\t0\t14\t+\t>1>2<3\t12\t{i % 5}\t9\t9\t9\t60")
+    path = tmp_path / "reads.gaf"
+    path.write_text("\n".join(lines) + "\n")
+
+    seq = list(iter_gaf_windows(str(path), names, window_bytes=512,
+                                workers=1))
+    par = list(iter_gaf_windows(str(path), names, window_bytes=512,
+                                workers=2))
+    assert len(seq) == len(par) > 2
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a.steps, b.steps)
+        np.testing.assert_array_equal(a.name_data, b.name_data)
+        np.testing.assert_array_equal(a.start, b.start)
+        np.testing.assert_array_equal(a.end, b.end)
+        np.testing.assert_array_equal(a.read_bounds, b.read_bounds)
+
+
+def test_gaf_small_file_skips_pool(tmp_path, monkeypatch):
+    """In auto mode (workers=None) small files must not pay worker
+    startup, whatever POLLEN_GAF_WORKERS says."""
+    from unittest import mock
+
+    from pollen_tpu.ops import gaf as G
+
+    g, _ = _graph()
+    names = g.seg_id_by_name()
+    path = tmp_path / "one.gaf"
+    path.write_text("r0\t14\t0\t14\t+\t>1>2\t12\t0\t9\t9\t9\t60\n")
+    monkeypatch.setenv("POLLEN_GAF_WORKERS", "4")
+    with mock.patch("concurrent.futures.ProcessPoolExecutor") as pool:
+        out = list(G.iter_gaf_windows(str(path), names))
+    assert pool.call_count == 0
+    assert len(out) == 1 and out[0].num_reads == 1
+
+
+def test_pangenotype_parallel_identical(tmp_path):
+    """Per-file parallel pangenotype rows equal the sequential ones."""
+    from pollen_tpu.ops.gaf import pangenotype_matrix
+
+    g, _ = _graph()
+    files = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.gaf"
+        p.write_text(
+            f"r\t14\t0\t14\t+\t>{i % 2 + 1}>2\t12\t0\t9\t9\t9\t60\n"
+        )
+        files.append(str(p))
+    m1 = pangenotype_matrix(g, files, workers=1)
+    m2 = pangenotype_matrix(g, files, workers=2)
+    np.testing.assert_array_equal(m1, m2)
