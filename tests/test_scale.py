@@ -46,3 +46,39 @@ def test_scale_depth_pipeline():
     dm, um = sharded_seg_depth_fn(mesh)(sg, full_mask(dg.num_paths))
     np.testing.assert_array_equal(np.asarray(dm), d1)
     np.testing.assert_array_equal(np.asarray(um), u1)
+
+
+def test_validate_corpus_dry_run(tmp_path):
+    """The real-corpus validation script end-to-end on a local fixture
+    (the networked deployment runs it with a fetch instead)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = tmp_path / "fix.gfa"
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    from graphgen import big_step_graph
+
+    fixture.write_text(big_step_graph(500, 20000, 8, seed=3))
+    env = dict(os.environ, POLLEN_DEVICE="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "benchsuite.validate_corpus",
+            "hprc.chr8",
+            "--graph",
+            str(fixture),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "round trip: byte-identical OK" in proc.stdout
+    assert "depth: exact-diff OK" in proc.stdout
+    assert "degree: exact-diff OK" in proc.stdout
+    assert "VALIDATION OK" in proc.stdout
+    assert "RESULT hprc.chr8:" in proc.stdout
