@@ -751,6 +751,261 @@ def masked_ell_split_depth(
     )
 
 
+# --- batched form ------------------------------------------------------
+# Production serving's shape: one resident graph, a stream of subset
+# queries. One fused pass answers Q masks at once: the tier phases
+# re-run the bit-select chain per query over a block READ ONCE (the
+# slot DMA amortizes Q-fold), and the heavy phase turns Q mat-vecs
+# into one real (Q, P) x (P, NH) MXU matmul whose output blocks are
+# fully populated — the single-query kernel's row-rotation trick
+# becomes unnecessary. The reference has no batch path at all
+# (flatgfa/src/ops/depth.rs answers one query per call).
+
+
+def _kernel_split3_batch(
+    mask_ref,  # SMEM int32[Q, n_words] packed mask words
+    m_ref,  # VMEM bf16 (Q8, P_pad) folded masks
+    ell_ref,
+    ell2_ref,
+    h_ref,
+    ld_ref,
+    lu_ref,  # light outputs (Q*SUB, TALL_W)
+    md_ref,
+    mu_ref,  # tier-2 outputs (Q*SUB, TALL_W)
+    hd_ref,
+    hu_ref,  # heavy outputs (Q8, hw)
+    *,
+    n_words,
+    k,
+    k2,
+    gl,
+    g2,
+    q,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    def tier(ref, d_ref, u_ref, kk_slots):
+        a = ref[:]
+        # Unpack once per block; the per-query work is only the select
+        # tournament + shift + two multiply-accumulates.
+        pids = []
+        cnts = []
+        nz = []
+        for kk in range(kk_slots):
+            v = a[kk * SUB : (kk + 1) * SUB]
+            pids.append((v >> COUNT_BITS) & 0xFFFF)
+            cnts.append(v & COUNT_MAX)
+            nz.append((v != 0).astype(jnp.int32))
+        for qq in range(q):
+            words = [mask_ref[qq, j] for j in range(n_words)]
+            depth = jnp.zeros((SUB, TALL_W), jnp.int32)
+            uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
+            for kk in range(kk_slots):
+                w32 = _select_word(pids[kk] >> 5, words)
+                bit = (w32 >> (pids[kk] & 31)) & 1
+                depth = depth + bit * cnts[kk]
+                uniq = uniq + bit * nz[kk]
+            d_ref[qq * SUB : (qq + 1) * SUB] = depth
+            u_ref[qq * SUB : (qq + 1) * SUB] = uniq
+
+    @pl.when(i < gl)
+    def _tier1():
+        tier(ell_ref, ld_ref, lu_ref, k)
+
+    if g2:
+
+        @pl.when(jnp.logical_and(i >= gl, i < gl + g2))
+        def _tier2():
+            tier(ell2_ref, md_ref, mu_ref, k2)
+
+    @pl.when(i >= gl + g2)
+    def _heavy():
+        from .crossmat import _unpack_tile
+
+        a = _unpack_tile(h_ref[:])  # (P_pad, hw) bf16
+        m = m_ref[:]  # (Q8, P_pad)
+        depth = jax.lax.dot_general(
+            m,
+            a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ind = jnp.minimum(a, jnp.bfloat16(1))
+        uniq = jax.lax.dot_general(
+            m,
+            ind,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hd_ref[:] = depth.astype(jnp.int32)
+        hu_ref[:] = uniq.astype(jnp.int32)
+
+
+def _tall_batch_to_natural(x: jax.Array, g: int, q: int) -> jax.Array:
+    """(g*Q*SUB, TALL_W) per-block query-major rows -> (Q, g*SUB*TALL_W)
+    natural column order per query."""
+    return (
+        x.reshape(g, q, SUB, TALL_W)
+        .transpose(1, 0, 2, 3)
+        .reshape(q, g * SUB * TALL_W)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "k2", "interpret")
+)
+def masked_ell_split3_depth_batch(
+    ell_tall: jax.Array,  # int32[G1*K*SUB, TALL_W] tier-1 slots
+    ell2_tall: jax.Array,  # int32[G2*K2*SUB, TALL_W] or (0, 0)
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
+    masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
+    k: int,
+    k2: int = 0,
+    interpret: bool = False,
+):
+    """Fused batched split query: Q masks in one Pallas pass. Returns
+    ``(d1, u1, d2, u2, dh, uh)`` with shapes (Q, class_cols); the
+    tier-2/heavy pairs are None when the class is absent."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .crossmat import fold_mask, pick_seg_block
+
+    q, p = masks.shape
+    has_mid = ell2_tall.size > 0 and k2 > 0
+    has_heavy = heavy.size > 0
+    assert ell_tall.shape[1] == TALL_W
+    gl = ell_tall.shape[0] // (k * SUB)
+    g2 = ell2_tall.shape[0] // (k2 * SUB) if has_mid else 0
+
+    n_words = -(-p // 32)
+    words = jnp.stack(
+        [pack_mask_words(masks[i], n_words) for i in range(q)]
+    )
+
+    if has_heavy:
+        h_rows, nh_pad = heavy.shape
+        p_pad = h_rows * 2
+        hw = pick_seg_block(p_pad, nh_pad)
+        while hw > LANES and nh_pad % hw:
+            hw //= 2
+        assert nh_pad % hw == 0
+        gh = nh_pad // hw
+        q8 = -(-q // 8) * 8  # MXU-friendly row count, fully populated
+        mp = jnp.zeros((q8, p_pad), jnp.int32).at[:q, :p].set(
+            masks.astype(jnp.int32)
+        )
+        m = jax.vmap(fold_mask)(mp).astype(jnp.bfloat16)
+    else:
+        h_rows, hw, gh, q8 = 1, LANES, 0, 8
+        heavy = jnp.zeros((1, LANES), jnp.uint8)
+        m = jnp.zeros((q8, 2), jnp.bfloat16)
+    if not has_mid:
+        k2_eff = 1
+        ell2_tall = jnp.zeros((SUB, TALL_W), jnp.int32)
+    else:
+        k2_eff = k2
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    specs = dict(
+        ell=pl.BlockSpec(
+            (k * SUB, TALL_W),
+            lambda i: (clamp(i, 0, gl - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        ell2=pl.BlockSpec(
+            (k2_eff * SUB, TALL_W),
+            lambda i: (clamp(i - gl, 0, max(g2 - 1, 0)), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        h=pl.BlockSpec(
+            (h_rows, hw),
+            lambda i: (0, clamp(i - gl - g2, 0, max(gh - 1, 0))),
+            memory_space=pltpu.VMEM,
+        ),
+        lo=pl.BlockSpec(
+            (q * SUB, TALL_W),
+            lambda i: (clamp(i, 0, gl - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        mo=pl.BlockSpec(
+            (q * SUB, TALL_W),
+            lambda i: (clamp(i - gl, 0, max(g2 - 1, 0)), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        ho=pl.BlockSpec(
+            (q8, hw),
+            lambda i: (clamp(i - gl - g2, 0, max(gh - 1, 0)), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    with jax.enable_x64(False):
+        d1, u1, d2, u2, dh, uh = pl.pallas_call(
+            functools.partial(
+                _kernel_split3_batch,
+                n_words=n_words,
+                k=k,
+                k2=k2_eff,
+                gl=gl,
+                g2=g2,
+                q=q,
+            ),
+            grid=(gl + g2 + gh,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                specs["ell"],
+                specs["ell2"],
+                specs["h"],
+            ],
+            out_specs=(
+                specs["lo"],
+                specs["lo"],
+                specs["mo"],
+                specs["mo"],
+                specs["ho"],
+                specs["ho"],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((gl * q * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct((gl * q * SUB, TALL_W), jnp.int32),
+                jax.ShapeDtypeStruct(
+                    (max(g2, 1) * q * SUB, TALL_W), jnp.int32
+                ),
+                jax.ShapeDtypeStruct(
+                    (max(g2, 1) * q * SUB, TALL_W), jnp.int32
+                ),
+                jax.ShapeDtypeStruct((max(gh, 1) * q8, hw), jnp.int32),
+                jax.ShapeDtypeStruct((max(gh, 1) * q8, hw), jnp.int32),
+            ),
+            interpret=interpret,
+        )(words, m, ell_tall, ell2_tall, heavy)
+    out1 = (
+        _tall_batch_to_natural(d1, gl, q),
+        _tall_batch_to_natural(u1, gl, q),
+    )
+    out2 = (
+        (
+            _tall_batch_to_natural(d2, g2, q),
+            _tall_batch_to_natural(u2, g2, q),
+        )
+        if has_mid
+        else (None, None)
+    )
+    if has_heavy:
+        outh = (
+            dh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1),
+            uh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1),
+        )
+    else:
+        outh = (None, None)
+    return (*out1, *out2, *outh)
+
+
 @jax.jit
 def masked_ell_depth_xla(
     ell: jax.Array, mask: jax.Array

@@ -428,19 +428,144 @@ def _cross_beats_scan(dg: DeviceGraph) -> bool:
     return _best_masked_impl(dg) == "cross"
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def seg_depth_with_uniq_ell_batch_parts(
+    dg: DeviceGraph, path_masks: jax.Array, pallas: bool = False
+):
+    """Batched masked (depth, uniq) over the tiered split ELL index as
+    per-class part arrays ``(d1, u1, d2, u2, dh, uh)`` of shape
+    (Q, class_cols) — the serving form (the batched analogue of
+    seg_depth_with_uniq_ell_parts). One fused Pallas pass answers the
+    whole batch: the slot DMA amortizes Q-fold and the heavy phase
+    becomes a real MXU matmul (kernels/ellscan.py
+    masked_ell_split3_depth_batch); off-TPU the XLA forms batch via
+    vmap/matmul. The heavy clip residual is already applied."""
+    from ..kernels.crossmat import batched_cross_depth
+    from ..kernels.ellscan import (
+        masked_ell_depth_xla,
+        masked_ell_split3_depth_batch,
+        unfold_ell_tall,
+    )
+
+    q = path_masks.shape[0]
+    m = path_masks.astype(jnp.int32)[:, : dg.num_paths]
+    has_mid = dg.cross_ell2.size > 0
+    has_heavy = dg.ell_heavy.size > 0
+
+    if pallas:
+        d1, u1, d2, u2, dh, uh = masked_ell_split3_depth_batch(
+            dg.cross_ell,
+            dg.cross_ell2,
+            dg.ell_heavy,
+            m,
+            k=dg.ell_k,
+            k2=dg.ell_k2 if has_mid else 0,
+        )
+    else:
+        flat = unfold_ell_tall(dg.cross_ell, dg.ell_k)
+        d1, u1 = jax.vmap(masked_ell_depth_xla, in_axes=(None, 0))(
+            flat, m
+        )
+        d2 = u2 = dh = uh = None
+        if has_mid:
+            flat2 = unfold_ell_tall(dg.cross_ell2, dg.ell_k2)
+            d2, u2 = jax.vmap(
+                masked_ell_depth_xla, in_axes=(None, 0)
+            )(flat2, m)
+        if has_heavy:
+            p_pad = dg.ell_heavy.shape[0] * 2
+            mp = (
+                jnp.zeros((q, p_pad), jnp.int32)
+                .at[:, : dg.num_paths]
+                .set(m)
+            )
+            dh, uh = batched_cross_depth(dg.ell_heavy, mp, nibble=True)
+    if has_heavy and dg.ell_heavy_res_col.size:
+        p_pad = dg.ell_heavy.shape[0] * 2
+        mp = (
+            jnp.zeros((q, p_pad), jnp.int32)
+            .at[:, : dg.num_paths]
+            .set(m)
+        )
+        fix = jnp.einsum(
+            "qp,pk->qk",
+            mp,
+            dg.ell_heavy_res,
+            preferred_element_type=jnp.int32,
+        )
+        k3 = dg.ell_heavy_res.shape[1]
+        dh = dh.at[:, :k3].add(fix)
+    return d1, u1, d2, u2, dh, uh
+
+
+def seg_depth_with_uniq_ell_batch(
+    dg: DeviceGraph, path_masks: jax.Array, pallas: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched tiered-ELL queries in natural segment order: the parts
+    op plus HOST-side composition/un-permutation (a device-side inverse
+    permutation would be an XLA gather over Q x N values — ~20 ms at
+    bench shape, dwarfing the kernel; production serving consumes the
+    permuted device parts directly, exactly as the single-query path
+    does)."""
+    d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_batch_parts(
+        dg, path_masks, pallas=pallas
+    )
+    q = path_masks.shape[0]
+    n = dg.num_segments
+    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    if d2 is None and dh is None and not dg.ell_order.shape[0]:
+        return (
+            np.asarray(jax.device_get(d1))[:, :n],
+            np.asarray(jax.device_get(u1))[:, :n],
+        )
+    dparts = [np.asarray(jax.device_get(d1))[:, :nl]]
+    uparts = [np.asarray(jax.device_get(u1))[:, :nl]]
+    if d2 is not None:
+        dparts.append(np.asarray(jax.device_get(d2))[:, :nm])
+        uparts.append(np.asarray(jax.device_get(u2))[:, :nm])
+    if dh is not None:
+        dparts.append(np.asarray(jax.device_get(dh))[:, :nh])
+        uparts.append(np.asarray(jax.device_get(uh))[:, :nh])
+    ne = n - nl - nm - nh
+    dparts.append(np.zeros((q, ne), np.int32))
+    uparts.append(np.zeros((q, ne), np.int32))
+    d = np.concatenate(dparts, axis=1)
+    u = np.concatenate(uparts, axis=1)
+    if not dg.ell_order.shape[0]:
+        return d, u
+    order = np.asarray(jax.device_get(dg.ell_order))
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return d[:, inv], u[:, inv]
+
+
 def seg_depth_with_uniq_batch(
     dg: DeviceGraph, path_masks: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Many subset-depth queries at once: ``path_masks`` is bool[Q, P],
-    returns (depth, uniq) of shape int32[Q, N].
+    returns (depth, uniq) of shape [Q, N].
 
-    With the crossing matrix resident this is two MXU matmuls,
-    ``masks @ A`` — the read of A amortizes across all Q queries.
-    Otherwise it is a vmap over the run-level kernel. This is the shape
+    Routed like the single query: the tiered split ELL index serves
+    batches through its fused batched kernel when it is the cheapest
+    resident index; then the crossing matrix (two MXU matmuls,
+    ``masks @ A`` — the read of A amortizes across all Q queries);
+    otherwise a vmap over the run-level kernel. This is the shape
     production serving wants: one resident graph, a stream of subset
     queries.
     """
+    if dg.cross_ell.size and _best_masked_impl(dg) == "ell":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        d, u = seg_depth_with_uniq_ell_batch(
+            dg, path_masks, pallas=on_tpu
+        )
+        return jnp.asarray(d), jnp.asarray(u)
+    return _seg_depth_with_uniq_batch_jit(dg, path_masks)
+
+
+@jax.jit
+def _seg_depth_with_uniq_batch_jit(
+    dg: DeviceGraph, path_masks: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
     if dg.cross_matrix.size:
         from ..kernels.crossmat import (
             batched_cross_depth,

@@ -142,6 +142,104 @@ def main():
             flush=True,
         )
 
+    elif stage == "ellb":
+        # Batched fused split kernel (parts form): µs/query at Q=8/16.
+        from pollen_tpu.ops.depth import (
+            seg_depth_with_uniq_ell_batch_parts,
+        )
+
+        for q in (8, 16):
+            def bq(masks, dg):
+                d1, u1, d2, u2, dh, uh = (
+                    seg_depth_with_uniq_ell_batch_parts(
+                        dg, masks, pallas=True
+                    )
+                )
+                extra = jnp.int32(0)
+                if d2 is not None:
+                    extra = extra + d2[-1, -1] + u2[-1, -1]
+                if dh is not None:
+                    extra = extra + dh[-1, -1] + uh[-1, -1]
+                # 1-row outputs keep the chained timing's readback tiny.
+                return d1[:, -1], u1[:, -1].at[-1].add(extra)
+
+            @jax.jit
+            def chained(masks, k, dg):
+                def body(i, carry):
+                    masks, acc = carry
+                    d, u = bq(masks, dg)
+                    masks = jnp.roll(masks, 1, axis=1).at[0, 0].set(
+                        d[0] % 2
+                    )
+                    return masks, acc + d[-1] + u[-1]
+
+                _, acc = jax.lax.fori_loop(
+                    0, k, body, (masks, jnp.int32(0))
+                )
+                return acc
+
+            rng = np.random.default_rng(4)
+            masks = jnp.asarray(
+                rng.integers(0, 2, (q, dg.num_paths)).astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            k = 6
+            while True:
+                per_iter, raw = _time_chain_raw(
+                    chained, (masks, jnp.int32(k), dg), 2, k
+                )
+                if raw >= 0.29 or k >= 65536:
+                    break
+                k *= 8
+            per_q = per_iter / q
+            print(
+                f"ellb q={q}: {per_iter * 1e6:.1f} us/batch "
+                f"({per_q * 1e6:.2f} us/query, "
+                f"{n_steps / per_q / 1e9:.0f} G steps/s) "
+                f"(total {time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        print("ellb: done", flush=True)
+
+    elif stage == "ellbok":
+        # Batched on-device exactness: parts vs Q single XLA queries.
+        from pollen_tpu.ops.depth import (
+            seg_depth_with_uniq_ell_batch_parts,
+            seg_depth_with_uniq_ell_parts,
+        )
+
+        q = 8
+        rng = np.random.default_rng(6)
+        masks = jnp.asarray(
+            rng.integers(0, 2, (q, dg.num_paths)).astype(np.int32)
+        )
+
+        @jax.jit
+        def diff(masks, dg):
+            outs_b = seg_depth_with_uniq_ell_batch_parts(
+                dg, masks, pallas=True
+            )
+            total = jnp.int64(0)
+            for i in range(q):
+                outs_1 = seg_depth_with_uniq_ell_parts(
+                    dg, masks[i], pallas=False
+                )
+                for b, s in zip(outs_b, outs_1):
+                    if b is None:
+                        continue
+                    total = total + jnp.abs(
+                        b[i].astype(jnp.int64) - s.astype(jnp.int64)
+                    ).sum()
+            return total
+
+        t0 = time.perf_counter()
+        total = int(np.asarray(jax.device_get(diff(masks, dg))))
+        print(
+            f"ellbok: diff={total} "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "ellok":
         from pollen_tpu.ops.depth import (
             seg_depth_with_uniq_ell_permuted,

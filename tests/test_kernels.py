@@ -793,3 +793,116 @@ def test_run_level_kernel_matches_xla(graph_path):
         d_x, u_x = seg_depth_with_uniq_runs(dg, jnp.asarray(mask))
         np.testing.assert_array_equal(depth_f, np.asarray(d_x))
         np.testing.assert_array_equal(uniq_f, np.asarray(u_x))
+
+
+def _synth_ell_split(seed=0, p=48, nl=300, nm=90, nh=40, k=2, k2=4):
+    """Synthetic tiered split arrays (tall tiers + heavy nibble matrix)
+    plus a dense reference crossing count matrix."""
+    from pollen_tpu.kernels.crossmat import CLIP_NIBBLE
+    from pollen_tpu.kernels.ellscan import (
+        pack_ell,
+        pack_ell_tall,
+    )
+
+    rng = np.random.default_rng(seed)
+    p_pad = 128
+    # Reference counts per (path, col) for each class.
+    def make_counts(cols, max_runs, max_count):
+        c = np.zeros((p_pad, cols), np.int64)
+        for j in range(cols):
+            n_runs = rng.integers(1, max_runs + 1)
+            paths = rng.choice(p, size=n_runs, replace=False)
+            c[paths, j] = rng.integers(1, max_count + 1, n_runs)
+        return c
+
+    c1 = make_counts(nl, k, 60000)
+    c2 = make_counts(nm, k2, 9)
+    ch = make_counts(nh, min(p, 30), 12)  # counts <= CLIP_NIBBLE
+
+    def to_tall(c, kk):
+        pathc, colc = np.nonzero(c.T)[1], np.nonzero(c.T)[0]
+        order = np.argsort(colc, kind="stable")
+        pathc, colc = pathc[order], colc[order]
+        cnt = c[pathc, colc]
+        slot = np.zeros_like(colc)
+        for j in range(c.shape[1]):
+            idx = np.flatnonzero(colc == j)
+            slot[idx] = np.arange(idx.size)
+        return pack_ell_tall(
+            pack_ell(pathc, cnt, colc, slot, kk, c.shape[1])
+        )
+
+    t1 = to_tall(c1, k)
+    t2 = to_tall(c2, k2)
+    hm = np.zeros((p_pad // 2, -(-nh // 128) * 128), np.uint8)
+    hp, hc = np.nonzero(ch)
+    vals = np.minimum(ch[hp, hc], CLIP_NIBBLE).astype(np.uint8)
+    even = (hp & 1) == 0
+    hm[hp[even] >> 1, hc[even]] = vals[even]
+    hm[hp[~even] >> 1, hc[~even]] |= vals[~even] << 4
+    return t1, t2, hm, c1, c2, np.minimum(ch, CLIP_NIBBLE)
+
+
+@pytest.mark.parametrize("q", [1, 5, 8])
+def test_ell_batch_kernel_matches_reference(q):
+    """The fused batched split kernel (interpret mode) equals the dense
+    per-query reference on all three classes, including a ragged Q."""
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        masked_ell_split3_depth_batch,
+    )
+
+    k, k2, p = 2, 4, 48
+    t1, t2, hm, c1, c2, ch = _synth_ell_split(seed=3, p=p, k=k, k2=k2)
+    rng = np.random.default_rng(9)
+    masks = rng.integers(0, 2, (q, p)).astype(np.int32)
+
+    d1, u1, d2, u2, dh, uh = masked_ell_split3_depth_batch(
+        jnp.asarray(t1),
+        jnp.asarray(t2),
+        jnp.asarray(hm),
+        jnp.asarray(masks),
+        k=k,
+        k2=k2,
+        interpret=True,
+    )
+    mref = np.zeros((q, 128), np.int64)
+    mref[:, :p] = masks
+    for cls, (d, u) in ((c1, (d1, u1)), (c2, (d2, u2)), (ch, (dh, uh))):
+        cols = cls.shape[1]
+        want_d = mref @ cls
+        want_u = mref @ (cls > 0)
+        np.testing.assert_array_equal(
+            np.asarray(d)[:, :cols], want_d
+        )
+        np.testing.assert_array_equal(
+            np.asarray(u)[:, :cols], want_u
+        )
+
+
+def test_ell_batch_kernel_no_mid_no_heavy():
+    """Batched kernel with only tier-1 present."""
+    from pollen_tpu.kernels.ellscan import masked_ell_split3_depth_batch
+
+    k, p = 2, 48
+    t1, _, _, c1, _, _ = _synth_ell_split(seed=5, p=p, k=k)
+    rng = np.random.default_rng(2)
+    masks = rng.integers(0, 2, (3, p)).astype(np.int32)
+    d1, u1, d2, u2, dh, uh = masked_ell_split3_depth_batch(
+        jnp.asarray(t1),
+        jnp.zeros((0, 0), jnp.int32),
+        jnp.zeros((0, 0), jnp.uint8),
+        jnp.asarray(masks),
+        k=k,
+        interpret=True,
+    )
+    assert d2 is None and dh is None
+    mref = np.zeros((3, 128), np.int64)
+    mref[:, :p] = masks
+    np.testing.assert_array_equal(
+        np.asarray(d1)[:, : c1.shape[1]], mref @ c1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u1)[:, : c1.shape[1]], mref @ (c1 > 0)
+    )

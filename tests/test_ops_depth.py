@@ -176,3 +176,46 @@ def test_cost_model_routing():
     costs = depth_op._masked_impl_costs(dg2)
     assert costs["scan"] < costs["xla"]
     assert depth_op._best_masked_impl(dg2) in ("scan", "runs")
+
+
+def test_ell_batch_matches_per_query():
+    """Batched tiered-ELL queries (natural order) equal Q single
+    queries on a Zipf graph with heavy + empty classes present."""
+    import jax.numpy as jnp
+
+    import bench
+
+    _, dg = bench.synth_device_graph(2**14, 2**10, 48)
+    assert dg.cross_ell.size and dg.ell_heavy.size
+    rng = np.random.default_rng(31)
+    masks = rng.integers(0, 2, (6, dg.num_paths)).astype(bool)
+    d_b, u_b = depth_op.seg_depth_with_uniq_ell_batch(
+        dg, jnp.asarray(masks)
+    )
+    assert d_b.shape == (6, dg.num_segments)
+    for q in range(6):
+        d, u = depth_op.seg_depth_with_uniq_masked(
+            dg, jnp.asarray(masks[q])
+        )
+        np.testing.assert_array_equal(np.asarray(d_b)[q], np.asarray(d))
+        np.testing.assert_array_equal(np.asarray(u_b)[q], np.asarray(u))
+
+
+def test_batch_router_prefers_ell():
+    """seg_depth_with_uniq_batch routes through the batched ELL path
+    when the cost model picks the ELL index (regression: batches used
+    to regress to the crossing matrix / runs vmap)."""
+    import jax.numpy as jnp
+
+    import bench
+
+    _, dg = bench.synth_device_graph(2**18, 2**16, 128)
+    assert depth_op._best_masked_impl(dg) == "ell"
+    rng = np.random.default_rng(33)
+    masks = rng.integers(0, 2, (4, dg.num_paths)).astype(bool)
+    d_b, u_b = depth_op.seg_depth_with_uniq_batch(dg, jnp.asarray(masks))
+    d_e, u_e = depth_op.seg_depth_with_uniq_ell_batch(
+        dg, jnp.asarray(masks)
+    )
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_e))
+    np.testing.assert_array_equal(np.asarray(u_b), np.asarray(u_e))
