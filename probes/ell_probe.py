@@ -276,6 +276,87 @@ def main():
             flush=True,
         )
 
+    elif stage == "ellcal":
+        # Calibration: fixed + marginal costs of the tier kernel and
+        # the heavy nibble pass, fit from multiple sizes. Feeds the
+        # ingest planner / query router constants (ellscan.C_*,
+        # ops/depth._masked_impl_costs).
+        from pollen_tpu.kernels.ellscan import (
+            SUB,
+            TALL_W,
+            masked_ell_depth_tall,
+        )
+        from pollen_tpu.kernels.crossmat import masked_cross_depth
+
+        rng = np.random.default_rng(12)
+        mask = jnp.ones(dg.num_paths, jnp.int32)
+
+        def time_fn(fn, args):
+            k = 6
+            while True:
+                per_iter, raw = _time_chain_raw(
+                    _chain2(fn), (args[0], jnp.int32(k), *args[1:]), 2, k
+                )
+                if raw >= 0.29 or k >= 65536:
+                    return per_iter
+
+        def _chain2(fn):
+            @jax.jit
+            def chained(mask, k, *rest):
+                def body(i, carry):
+                    mask, acc = carry
+                    d, u = fn(mask, *rest)
+                    mask = jnp.roll(mask, 1).at[0].set(d[0] % 2)
+                    return mask, acc + d[-1] + u[-1]
+
+                _, acc = jax.lax.fori_loop(
+                    0, k, body, (mask, jnp.int32(0))
+                )
+                return acc
+
+            return chained
+
+        # Tier kernel: k=1 at G in {1, 2, 4, 8}; k=4 at G in {1, 4}.
+        for kk, gs in ((1, (1, 2, 4, 8)), (4, (1, 4))):
+            for g in gs:
+                rows = g * kk * SUB
+                tall = jnp.asarray(
+                    rng.integers(
+                        0, 1 << 22, (rows, TALL_W), dtype=np.int32
+                    )
+                )
+
+                def q(mask, tall, kk=kk):
+                    return masked_ell_depth_tall(tall, mask, k=kk)
+
+                per = time_fn(q, (mask, tall))
+                slots = rows * TALL_W
+                print(
+                    f"ellcal tier k={kk} g={g}: {per * 1e6:.2f} us "
+                    f"({slots} slots)",
+                    flush=True,
+                )
+
+        # Heavy nibble pass at widths 4096 / 16384 / 32768.
+        p_pad = 128
+        hmask = jnp.ones(p_pad, jnp.int32)
+        for w in (4096, 16384, 32768):
+            hm = jnp.asarray(
+                rng.integers(0, 256, (p_pad // 2, w), dtype=np.int32
+                             ).astype(np.uint8)
+            )
+
+            def hq(mask, hm):
+                return masked_cross_depth(hm, mask, nibble=True)
+
+            per = time_fn(hq, (hmask, hm))
+            print(
+                f"ellcal heavy w={w}: {per * 1e6:.2f} us "
+                f"({(p_pad // 2) * w} bytes)",
+                flush=True,
+            )
+        print("ellcal: done", flush=True)
+
     elif stage == "crossd":
         from pollen_tpu.kernels.crossmat import masked_cross_depth
 
