@@ -401,96 +401,33 @@ def masked_ell_depth_tall(
 
 
 # --- fused split kernel ----------------------------------------------
-# The split query's two passes — the tall light reduction and the heavy
+# The split query's passes — the tall tier reductions and the heavy
 # nibble sub-matrix dots — measured 9.7 us and 11.2 us alone but 19.3
 # us back-to-back: separate pallas_calls serialize. One call with a
-# heterogeneous grid (light steps first, then heavy steps) overlaps
+# heterogeneous grid (tier steps first, then heavy steps) overlaps
 # the phases' DMA and VPU work and drops a kernel launch. Inactive
 # phases leave their output blocks untouched (clamped index maps keep
 # each block resident until its writer runs).
 
 
-def _kernel_split(
-    mask_ref,  # SMEM int32[n_words] packed mask words
-    m_ref,  # VMEM bf16 (8, P_pad) folded mask (row 0)
-    ell_ref,  # (K*SUB, TALL_W) tall light block (clamped past gl)
-    h_ref,  # (P_pad/2, hw) heavy packed block (clamped before gl)
-    ld_ref,
-    lu_ref,  # light outputs (SUB, TALL_W)
-    hd_ref,
-    hu_ref,  # heavy outputs (8, hw), row-rotated
-    *,
-    n_words,
-    k,
-    gl,
-):
-    from jax.experimental import pallas as pl
-
-    i = pl.program_id(0)
-
-    @pl.when(i < gl)
-    def _light():
-        a = ell_ref[:]
-        words = [mask_ref[j] for j in range(n_words)]
-        depth = jnp.zeros((SUB, TALL_W), jnp.int32)
-        uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
-        for kk in range(k):
-            v = a[kk * SUB : (kk + 1) * SUB]
-            pid = (v >> COUNT_BITS) & 0xFFFF
-            cnt = v & COUNT_MAX
-            w32 = _select_word(pid >> 5, words)
-            bit = (w32 >> (pid & 31)) & 1
-            depth = depth + bit * cnt
-            uniq = uniq + bit * (v != 0).astype(jnp.int32)
-        ld_ref[:] = depth
-        lu_ref[:] = uniq
-
-    @pl.when(i >= gl)
-    def _heavy():
-        from .crossmat import _unpack_tile
-
-        a = _unpack_tile(h_ref[:])  # (P_pad, hw) bf16
-        m = m_ref[:]
-        depth = jax.lax.dot_general(
-            m,
-            a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ind = jnp.minimum(a, jnp.bfloat16(1))
-        uniq = jax.lax.dot_general(
-            m,
-            ind,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        r = (i - gl) % 8
-        hd_ref[pl.dslice(r, 1), :] = depth[:1, :].astype(jnp.int32)
-        hu_ref[pl.dslice(r, 1), :] = uniq[:1, :].astype(jnp.int32)
-
-
-def _kernel_split3(
+def _kernel_splitn(
     mask_ref,
     m_ref,
-    ell_ref,
-    ell2_ref,
-    h_ref,
-    ld_ref,
-    lu_ref,
-    md_ref,
-    mu_ref,
-    hd_ref,
-    hu_ref,
-    *,
+    *refs,
     n_words,
-    k,
-    k2,
-    gl,
-    g2,
+    ks,
+    gs,
+    has_heavy,
 ):
+    """N tier phases + an optional heavy phase in one grid. ``refs``
+    is (tier_in..., [heavy_in], tier_d/u pairs..., [heavy_d/u])."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
+    nt = len(ks)
+    tier_in = refs[:nt]
+    h_ref = refs[nt] if has_heavy else None
+    outs = refs[nt + (1 if has_heavy else 0) :]
 
     def tier(ref, d_ref, u_ref, kk_slots):
         a = ref[:]
@@ -508,39 +445,174 @@ def _kernel_split3(
         d_ref[:] = depth
         u_ref[:] = uniq
 
-    @pl.when(i < gl)
-    def _tier1():
-        tier(ell_ref, ld_ref, lu_ref, k)
+    off = 0
+    for t in range(nt):
+        lo, hi = off, off + gs[t]
 
-    @pl.when(jnp.logical_and(i >= gl, i < gl + g2))
-    def _tier2():
-        tier(ell2_ref, md_ref, mu_ref, k2)
+        @pl.when(jnp.logical_and(i >= lo, i < hi))
+        def _tier(t=t):
+            tier(tier_in[t], outs[2 * t], outs[2 * t + 1], ks[t])
 
-    @pl.when(i >= gl + g2)
-    def _heavy():
-        from .crossmat import _unpack_tile
+        off = hi
 
-        a = _unpack_tile(h_ref[:])
-        m = m_ref[:]
-        depth = jax.lax.dot_general(
-            m,
-            a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if has_heavy:
+        g_tiers = off
+
+        @pl.when(i >= g_tiers)
+        def _heavy():
+            from .crossmat import _unpack_tile
+
+            a = _unpack_tile(h_ref[:])
+            m = m_ref[:]
+            depth = jax.lax.dot_general(
+                m,
+                a,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ind = jnp.minimum(a, jnp.bfloat16(1))
+            uniq = jax.lax.dot_general(
+                m,
+                ind,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r = (i - g_tiers) % 8
+            outs[2 * nt][pl.dslice(r, 1), :] = depth[:1, :].astype(
+                jnp.int32
+            )
+            outs[2 * nt + 1][pl.dslice(r, 1), :] = uniq[:1, :].astype(
+                jnp.int32
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ks", "interpret")
+)
+def masked_ell_splitn_depth(
+    tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
+    mask: jax.Array,  # int32/bool[>=P] (0/1), original path order
+    ks: Tuple[int, ...],
+    interpret: bool = False,
+):
+    """Fused (N tiers + heavy) split query — the general form of the
+    three-phase kernel, one Pallas pass whatever the tier count.
+    Returns ``(d_i, u_i)`` per tier followed by ``(dh, uh)`` when the
+    heavy class is present, each in natural column order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .crossmat import fold_mask, pick_seg_block
+
+    nt = len(tiers)
+    assert nt == len(ks) and nt >= 1
+    gs = []
+    for t, k in zip(tiers, ks):
+        assert t.shape[1] == TALL_W and t.shape[0] % (k * SUB) == 0
+        gs.append(t.shape[0] // (k * SUB))
+    gs = tuple(gs)
+    g_tiers = sum(gs)
+
+    has_heavy = heavy.size > 0
+    if has_heavy:
+        h_rows, nh_pad = heavy.shape
+        p_pad = h_rows * 2
+        hw = pick_seg_block(p_pad, nh_pad)
+        while hw > LANES and (nh_pad // hw) % 8:
+            hw //= 2
+        assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0, (
+            "heavy column count must give a step count divisible by 8 "
+            "(device.py pads nh_pad to SEG_BLOCK multiples)"
         )
-        ind = jnp.minimum(a, jnp.bfloat16(1))
-        uniq = jax.lax.dot_general(
-            m,
-            ind,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        gh = nh_pad // hw
+        mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
+            mask.astype(jnp.int32)
         )
-        r = (i - gl - g2) % 8
-        hd_ref[pl.dslice(r, 1), :] = depth[:1, :].astype(jnp.int32)
-        hu_ref[pl.dslice(r, 1), :] = uniq[:1, :].astype(jnp.int32)
+        m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+            fold_mask(mp).astype(jnp.bfloat16)
+        )
+    else:
+        h_rows, hw, gh = 1, LANES, 0
+        heavy = jnp.zeros((8, LANES), jnp.uint8)
+        m = jnp.zeros((8, 2), jnp.bfloat16)
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    offs = [sum(gs[:t]) for t in range(nt)]
+    tier_specs = [
+        pl.BlockSpec(
+            (ks[t] * SUB, TALL_W),
+            (lambda t: lambda i: (
+                clamp(i - offs[t], 0, gs[t] - 1), 0
+            ))(t),
+            memory_space=pltpu.VMEM,
+        )
+        for t in range(nt)
+    ]
+    tier_out_specs = [
+        pl.BlockSpec(
+            (SUB, TALL_W),
+            (lambda t: lambda i: (
+                clamp(i - offs[t], 0, gs[t] - 1), 0
+            ))(t),
+            memory_space=pltpu.VMEM,
+        )
+        for t in range(nt)
+    ]
+    h_spec = pl.BlockSpec(
+        (h_rows, hw),
+        lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+        memory_space=pltpu.VMEM,
+    )
+    ho_spec = pl.BlockSpec(
+        (8, hw),
+        lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)) // 8, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_specs = []
+    out_shape = []
+    for t in range(nt):
+        out_specs += [tier_out_specs[t], tier_out_specs[t]]
+        s = jax.ShapeDtypeStruct((gs[t] * SUB, TALL_W), jnp.int32)
+        out_shape += [s, s]
+    if has_heavy:
+        out_specs += [ho_spec, ho_spec]
+        s = jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32)
+        out_shape += [s, s]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        *tier_specs,
+    ]
+    ins = [*tiers]
+    if has_heavy:
+        in_specs.append(h_spec)
+        ins.append(heavy)
+
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            functools.partial(
+                _kernel_splitn,
+                n_words=n_words,
+                ks=tuple(ks),
+                gs=gs,
+                has_heavy=has_heavy,
+            ),
+            grid=(g_tiers + gh,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(words, m, *ins)
+    return tuple(o.reshape(-1) for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "k2", "interpret"))
 def masked_ell_split3_depth(
     ell_tall: jax.Array,  # int32[G1*K*SUB, TALL_W] tier-1 slots
     ell2_tall: jax.Array,  # int32[G2*K2*SUB, TALL_W] tier-2 slots
@@ -551,115 +623,18 @@ def masked_ell_split3_depth(
     interpret: bool = False,
 ):
     """Fused three-phase split query: tier-1 slots, tier-2 slots, then
-    the dense heavy block, all in one Pallas pass. Returns
+    the dense heavy block, all in one Pallas pass (the two-tier special
+    case of :func:`masked_ell_splitn_depth`). Returns
     ``(d1, u1, d2, u2, dh, uh)`` — each tier in natural column order."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from .crossmat import fold_mask, pick_seg_block
-
-    assert ell_tall.shape[1] == TALL_W and ell2_tall.shape[1] == TALL_W
-    gl = ell_tall.shape[0] // (k * SUB)
-    g2 = ell2_tall.shape[0] // (k2 * SUB)
-    h_rows, nh_pad = heavy.shape
-    p_pad = h_rows * 2
-    hw = pick_seg_block(p_pad, nh_pad)
-    while hw > LANES and (nh_pad // hw) % 8:
-        hw //= 2
-    assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0
-    gh = nh_pad // hw
-
-    n_words = -(-mask.shape[0] // 32)
-    words = pack_mask_words(mask, n_words)
-    mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
-        mask.astype(jnp.int32)
-    )
-    m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
-        fold_mask(mp).astype(jnp.bfloat16)
-    )
-
-    def clamp(v, lo, hi):
-        return jnp.minimum(jnp.maximum(v, lo), hi)
-
-    specs = dict(
-        ell=pl.BlockSpec(
-            (k * SUB, TALL_W),
-            lambda i: (clamp(i, 0, gl - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        ell2=pl.BlockSpec(
-            (k2 * SUB, TALL_W),
-            lambda i: (clamp(i - gl, 0, g2 - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        h=pl.BlockSpec(
-            (h_rows, hw),
-            lambda i: (0, clamp(i - gl - g2, 0, gh - 1)),
-            memory_space=pltpu.VMEM,
-        ),
-        lo=pl.BlockSpec(
-            (SUB, TALL_W),
-            lambda i: (clamp(i, 0, gl - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        mo=pl.BlockSpec(
-            (SUB, TALL_W),
-            lambda i: (clamp(i - gl, 0, g2 - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        ho=pl.BlockSpec(
-            (8, hw),
-            lambda i: (clamp(i - gl - g2, 0, gh - 1) // 8, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    with jax.enable_x64(False):
-        d1, u1, d2, u2, dh, uh = pl.pallas_call(
-            functools.partial(
-                _kernel_split3,
-                n_words=n_words,
-                k=k,
-                k2=k2,
-                gl=gl,
-                g2=g2,
-            ),
-            grid=(gl + g2 + gh,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                specs["ell"],
-                specs["ell2"],
-                specs["h"],
-            ],
-            out_specs=(
-                specs["lo"],
-                specs["lo"],
-                specs["mo"],
-                specs["mo"],
-                specs["ho"],
-                specs["ho"],
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((g2 * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((g2 * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((gh, hw), jnp.int32),
-                jax.ShapeDtypeStruct((gh, hw), jnp.int32),
-            ),
-            interpret=interpret,
-        )(words, m, ell_tall, ell2_tall, heavy)
-    return (
-        d1.reshape(-1),
-        u1.reshape(-1),
-        d2.reshape(-1),
-        u2.reshape(-1),
-        dh.reshape(-1),
-        uh.reshape(-1),
+    return masked_ell_splitn_depth(
+        (ell_tall, ell2_tall),
+        heavy,
+        mask,
+        ks=(k, k2),
+        interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def masked_ell_split_depth(
     ell_tall: jax.Array,  # int32[G*K*SUB, TALL_W] (pack_ell_tall)
     heavy: jax.Array,  # uint8[P_pad/2, NH_pad] nibble-packed
@@ -668,86 +643,10 @@ def masked_ell_split_depth(
     interpret: bool = False,
 ):
     """Fused split query: ``(depth_l, uniq_l, depth_h, uniq_h)`` in one
-    Pallas pass (light in natural column order, heavy likewise)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from .crossmat import fold_mask, pick_seg_block
-
-    rows = ell_tall.shape[0]
-    assert ell_tall.shape[1] == TALL_W and rows % (k * SUB) == 0
-    gl = rows // (k * SUB)
-    h_rows, nh_pad = heavy.shape
-    p_pad = h_rows * 2
-    # Heavy tile width: widest whose step count is a multiple of 8
-    # (the row-rotated output pattern; crossmat.py).
-    hw = pick_seg_block(p_pad, nh_pad)
-    while hw > LANES and (nh_pad // hw) % 8:
-        hw //= 2
-    assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0, (
-        "heavy column count must give a step count divisible by 8 "
-        "(device.py pads nh_pad to SEG_BLOCK multiples)"
-    )
-    gh = nh_pad // hw
-
-    n_words = -(-mask.shape[0] // 32)
-    words = pack_mask_words(mask, n_words)
-    mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
-        mask.astype(jnp.int32)
-    )
-    m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
-        fold_mask(mp).astype(jnp.bfloat16)
-    )
-
-    def clamp(v, lo, hi):
-        return jnp.minimum(jnp.maximum(v, lo), hi)
-
-    ell_block = pl.BlockSpec(
-        (k * SUB, TALL_W),
-        lambda i: (clamp(i, 0, gl - 1), 0),
-        memory_space=pltpu.VMEM,
-    )
-    h_block = pl.BlockSpec(
-        (h_rows, hw),
-        lambda i: (0, clamp(i - gl, 0, gh - 1)),
-        memory_space=pltpu.VMEM,
-    )
-    lo_block = pl.BlockSpec(
-        (SUB, TALL_W),
-        lambda i: (clamp(i, 0, gl - 1), 0),
-        memory_space=pltpu.VMEM,
-    )
-    ho_block = pl.BlockSpec(
-        (8, hw),
-        lambda i: (clamp(i - gl, 0, gh - 1) // 8, 0),
-        memory_space=pltpu.VMEM,
-    )
-    with jax.enable_x64(False):
-        ld, lu, hd, hu = pl.pallas_call(
-            functools.partial(
-                _kernel_split, n_words=n_words, k=k, gl=gl
-            ),
-            grid=(gl + gh,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                ell_block,
-                h_block,
-            ],
-            out_specs=(lo_block, lo_block, ho_block, ho_block),
-            out_shape=(
-                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((gl * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32),
-                jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32),
-            ),
-            interpret=interpret,
-        )(words, m, ell_tall, heavy)
-    return (
-        ld.reshape(-1),
-        lu.reshape(-1),
-        hd.reshape(-1),
-        hu.reshape(-1),
+    Pallas pass (the one-tier special case of
+    :func:`masked_ell_splitn_depth`)."""
+    return masked_ell_splitn_depth(
+        (ell_tall,), heavy, mask, ks=(k,), interpret=interpret
     )
 
 
