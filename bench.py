@@ -146,6 +146,7 @@ _IMPL_FIELDS = {
     "ell": (
         "cross_ell",
         "cross_ell2",
+        "cross_ell3",
         "ell_heavy",
         "ell_heavy_res",
         "ell_heavy_res_col",

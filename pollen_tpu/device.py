@@ -85,6 +85,7 @@ from .flatgfa import GraphArrays
         "cross_res_seg",
         "cross_ell",
         "cross_ell2",
+        "cross_ell3",
         "ell_order",
         "ell_heavy",
         "ell_heavy_res",
@@ -102,9 +103,11 @@ from .flatgfa import GraphArrays
         "cross_nibble",
         "ell_num_light",
         "ell_num_mid",
+        "ell_num_mid2",
         "ell_num_heavy",
         "ell_k",
         "ell_k2",
+        "ell_k3",
         "bnd_w_rows",
         "bnd_over_tiles",
         "bnd2_w_rows",
@@ -171,6 +174,7 @@ class DeviceGraph:
     # -> 9.7 us/query at bench shape). ``ell_k`` (static) records K.
     cross_ell: jax.Array  # int32[G1*K1*8, 4096] or (0, 0) (tier 1)
     cross_ell2: jax.Array  # int32[G2*K2*8, 4096] or (0, 0) (tier 2)
+    cross_ell3: jax.Array  # int32[G3*K3*8, 4096] or (0, 0) (tier 3)
     ell_order: jax.Array  # int32[N] or (0,)
     ell_heavy: jax.Array  # uint8[P_pad/2, NH_pad] or (0, 0)
     ell_heavy_res: jax.Array  # int32[P_pad, K3_pad] or (0, 0)
@@ -192,14 +196,16 @@ class DeviceGraph:
     num_paths: int
     cross_nibble: bool = False
     # Class sizes of the tiered split ELL layout: ``ell_order`` is
-    # [tier1, tier2, heavy, empty]; ``ell_num_light`` equals
+    # [tier1, tier2, tier3, heavy, empty]; ``ell_num_light`` equals
     # num_segments for the identity (untiered) split.
     ell_num_light: int = 0
     ell_num_mid: int = 0
+    ell_num_mid2: int = 0
     ell_num_heavy: int = 0
     # Slot counts of the tall tiers (static); 0 = tier absent.
     ell_k: int = 0
     ell_k2: int = 0
+    ell_k3: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
@@ -385,14 +391,16 @@ def build_device_graph(
     # the cheapest resident index.
     ell = np.zeros((0, 0), np.int32)
     ell2 = np.zeros((0, 0), np.int32)
+    ell3 = np.zeros((0, 0), np.int32)
     ell_order = np.zeros(0, np.int32)
     ell_heavy = np.zeros((0, 0), np.uint8)
     ell_heavy_res = np.zeros((0, 0), np.int32)
     ell_heavy_res_col = np.zeros(0, np.int32)
     ell_nl = n  # tier-1 count (identity split when no ELL is built)
     ell_nm = 0  # tier-2 count
+    ell_nm2 = 0  # tier-3 count
     ell_nh = 0  # heavy count
-    k_ell = k_ell2 = 0
+    k_ell = k_ell2 = k_ell3 = 0
     if (
         s > 0
         and 0 < p < (1 << 16)
@@ -400,21 +408,28 @@ def build_device_graph(
         and cross_matrix != "never"
     ):
         from .kernels.crossmat import SEG_BLOCK
-        from .kernels.ellscan import COUNT_MAX, pack_ell, plan_ell_tiers
+        from .kernels.ellscan import (
+            COUNT_MAX,
+            pack_ell,
+            plan_ell_tiers_n,
+        )
 
         runs_per_seg = np.bincount(run_seg, minlength=n)
         big_seg = np.zeros(n, bool)
         big_seg[run_seg[run_count > COUNT_MAX]] = True
-        k_ell, k_ell2, t1_b, t2_b, heavy_b = plan_ell_tiers(
+        ks, tier_masks, heavy_b = plan_ell_tiers_n(
             runs_per_seg, big_seg, p_pad_m
         )
-        t1_ids = np.flatnonzero(t1_b).astype(np.int32)
-        t2_ids = np.flatnonzero(t2_b).astype(np.int32)
+        tier_ids = [
+            np.flatnonzero(t).astype(np.int32) for t in tier_masks
+        ]
         heavy_ids = np.flatnonzero(heavy_b).astype(np.int32)
-        empty_ids = np.flatnonzero(
-            ~t1_b & ~t2_b & ~heavy_b
-        ).astype(np.int32)
-        nl, nm, nh = t1_ids.size, t2_ids.size, heavy_ids.size
+        not_empty = heavy_b.copy()
+        for t in tier_masks:
+            not_empty |= t
+        empty_ids = np.flatnonzero(~not_empty).astype(np.int32)
+        tier_counts = [ids.size for ids in tier_ids]
+        nh = heavy_ids.size
         # Heavy columns pad to the SEG_BLOCK tile (the fused kernel's
         # rotated output wants a step count divisible by 8; SEG_BLOCK
         # multiples always are). Tier columns need no width padding:
@@ -431,11 +446,15 @@ def build_device_graph(
         from .kernels.ellscan import SUB, TALL_W
 
         tile = SUB * TALL_W
-        nl_tall = -(-max(nl, 1) // tile) * tile
-        nm_tall = -(-nm // tile) * tile if nm else 0
+
+        def tall_pad(c: int) -> int:
+            return -(-max(c, 1) // tile) * tile if c else 0
+
         ell_bytes = (
-            4 * k_ell * nl_tall
-            + 4 * k_ell2 * nm_tall
+            sum(
+                4 * k * tall_pad(c)
+                for k, c in zip(ks, tier_counts)
+            )
             + (p_pad_m // 2) * nh_pad
             + 4 * p_pad_m * k3
         )
@@ -443,7 +462,9 @@ def build_device_graph(
         # dense matrix: both indexes stay resident, so their combined
         # footprint must fit POLLEN_CROSS_BUDGET_MB.
         spent = cross.nbytes + cross_res.nbytes if build_cross else 0
-        if nl and (cross_matrix == "always" or ell_bytes <= budget - spent):
+        if ks and (
+            cross_matrix == "always" or ell_bytes <= budget - spent
+        ):
             # Tier slots: runs grouped by segment; slot = index in
             # group (all < the tier's K by construction of the split).
             seg_starts = np.concatenate(([0], np.cumsum(runs_per_seg)))
@@ -451,31 +472,32 @@ def build_device_graph(
                 np.arange(run_seg.size, dtype=np.int64)
                 - seg_starts[run_seg]
             )
-            seg_to_t1 = np.cumsum(t1_b) - 1  # local col per segment
-            v1 = t1_b[run_seg]
-            ell = pack_ell(
-                run_path[v1],
-                run_count[v1],
-                seg_to_t1[run_seg[v1]],
-                slot[v1],
-                k_ell,
-                max(nl, 1),
-            )
-            if nm:
-                seg_to_t2 = np.cumsum(t2_b) - 1
-                v2 = t2_b[run_seg]
-                ell2 = pack_ell(
-                    run_path[v2],
-                    run_count[v2],
-                    seg_to_t2[run_seg[v2]],
-                    slot[v2],
-                    k_ell2,
-                    nm,
+
+            def pack_tier(t_b, k, cols):
+                seg_to_col = np.cumsum(t_b) - 1  # local col per segment
+                v = t_b[run_seg]
+                return pack_ell(
+                    run_path[v],
+                    run_count[v],
+                    seg_to_col[run_seg[v]],
+                    slot[v],
+                    k,
+                    max(cols, 1),
                 )
-            else:
-                k_ell2 = 0
-            ell_nl, ell_nm, ell_nh = nl, nm, nh
-            if nm or nh or empty_ids.size:
+
+            ell = pack_tier(tier_masks[0], ks[0], tier_counts[0])
+            k_ell = ks[0]
+            if len(ks) > 1:
+                ell2 = pack_tier(tier_masks[1], ks[1], tier_counts[1])
+                k_ell2 = ks[1]
+            if len(ks) > 2:
+                ell3 = pack_tier(tier_masks[2], ks[2], tier_counts[2])
+                k_ell3 = ks[2]
+            ell_nl = tier_counts[0]
+            ell_nm = tier_counts[1] if len(ks) > 1 else 0
+            ell_nm2 = tier_counts[2] if len(ks) > 2 else 0
+            ell_nh = nh
+            if ell_nm or ell_nm2 or nh or empty_ids.size:
                 if nh:
                     # Heavy columns with clip overflow come FIRST in
                     # the heavy block, so the query's residual fixup is
@@ -486,7 +508,7 @@ def build_device_graph(
                             [over_cols.astype(np.int32), rest]
                         )
                 ell_order = np.concatenate(
-                    [t1_ids, t2_ids, heavy_ids, empty_ids]
+                    tier_ids + [heavy_ids, empty_ids]
                 )
             if nh:
                 seg_to_heavy = np.zeros(n, np.int64)
@@ -588,15 +610,14 @@ def build_device_graph(
 
     # Fold the tier slots into the tall layout the production kernel
     # consumes (kernels/ellscan.py masked_ell_depth_tall).
-    ell_k = ell_k2 = 0
     if ell.size:
         from .kernels.ellscan import pack_ell_tall
 
-        ell_k = int(ell.shape[0])
         ell = pack_ell_tall(ell)
         if ell2.size:
-            ell_k2 = int(ell2.shape[0])
             ell2 = pack_ell_tall(ell2)
+        if ell3.size:
+            ell3 = pack_ell_tall(ell3)
 
     # Path step-span boundaries (step spans are contiguous in path order).
     path_bounds = np.concatenate(
@@ -649,6 +670,7 @@ def build_device_graph(
         cross_res_seg=put(asarr(cross_res_seg)),
         cross_ell=put(asarr(ell)),
         cross_ell2=put(asarr(ell2)),
+        cross_ell3=put(asarr(ell3)),
         ell_order=put(asarr(ell_order)),
         ell_heavy=put(asarr(ell_heavy)),
         ell_heavy_res=put(asarr(ell_heavy_res)),
@@ -664,9 +686,11 @@ def build_device_graph(
         cross_nibble=use_nibble,
         ell_num_light=ell_nl,
         ell_num_mid=ell_nm,
+        ell_num_mid2=ell_nm2,
         ell_num_heavy=ell_nh,
-        ell_k=ell_k,
-        ell_k2=ell_k2,
+        ell_k=k_ell,
+        ell_k2=k_ell2,
+        ell_k3=k_ell3,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
         bnd2_w_rows=bnd2_w_rows,

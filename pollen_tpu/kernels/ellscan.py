@@ -56,26 +56,36 @@ COUNT_MAX = (1 << COUNT_BITS) - 1
 C_SLOT = 12.0
 C_HEAVY_PER_PATH = 1.75
 C_HEAVY_PER_BYTE = 2 * C_HEAVY_PER_PATH
+# Fixed-vs-marginal decomposition (r4 ellcal probe): C_SLOT conflates a
+# per-phase fixed cost with the true per-slot work, which made every
+# small-but-wide tier look too expensive and barred a third tier.
+# C_TIER_FIXED charges each tier phase once (launch + first-block
+# latency); C_SLOT_MARG is the fitted marginal slot cost. Values are
+# equivalent streamed bytes at the 657 GB/s roofline (657 B == 1 ns).
+C_TIER_FIXED = 1.3e6  # ~2.0 us per extra tier phase
+C_SLOT_MARG = 6.0  # ~9 ns per 1024 slots
 
 
-def plan_ell_tiers(
+def plan_ell_tiers_n(
     runs_per_seg: np.ndarray,
     big_seg: np.ndarray,
     p_pad: int,
-) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
-    """Three-way split (sliced-ELL style): tier-1 columns get K1 slots,
-    tier-2 columns K2 > K1 slots, the rest go dense ("heavy"). Crossing
-    counts follow a Zipf law, so one small K wastes dense work on the
-    mid-popularity segments — a second tier measured ~30% off the whole
-    query at bench shape. Minimizes the measured equivalent cost;
-    Segments no path crosses (runs == 0) are excluded from every class
-    — their depth/uniq are identically zero, known at ingest, so they
-    buy no device work at all (~half the bench graph's segments).
+    max_tiers: int = 3,
+):
+    """Up-to-``max_tiers``-way sliced-ELL split: tier t's columns get
+    K_t slots (K_1 < K_2 < ...); the rest of the crossed segments go
+    dense ("heavy"). Crossing counts follow a Zipf law, so one small K
+    wastes dense work on mid-popularity segments — a second tier
+    measured ~30% off the whole query at bench shape, and a third
+    shrinks the heavy class further once the fixed per-phase cost is
+    charged honestly (C_TIER_FIXED vs C_SLOT_MARG). Segments no path
+    crosses are excluded from every class — their depth/uniq are
+    identically zero at ingest and buy no device work at all.
 
-    Returns ``(k1, k2, tier1_mask, tier2_mask, heavy_mask)`` with
-    ``k2 == 0`` (and an all-false tier2) when a middle tier does not
-    pay; the remainder (``~t1 & ~t2 & ~heavy``) is the empty class."""
-    c_heavy = C_HEAVY_PER_PATH * p_pad
+    Returns ``(ks, tiers, heavy_mask)``: ``ks`` a tuple of slot counts
+    (possibly length < max_tiers), ``tiers`` the matching list of
+    bool masks, ``heavy_mask`` the dense remainder. ``ks`` is empty
+    only when no crossed segment fits any K (all heavy)."""
     crossed = runs_per_seg > 0
     valid = ~big_seg & crossed
     # Tiers are charged at their RESIDENT (tall-padded) column counts:
@@ -86,43 +96,69 @@ def plan_ell_tiers(
     def pad(n: int) -> int:
         return -(-n // tile) * tile if n else 0
 
+    import itertools
+
+    n_crossed = int(crossed.sum())
+    kset = (1, 2, 4, 8, 16, 32)
     best = None
-    for k1 in (1, 2, 4, 8, 16):
-        t1 = valid & (runs_per_seg <= k1)
-        n1 = int(t1.sum())
-        if n1 == 0:
-            # The kernels (and the ingest gate) require a tier-1; an
-            # all-heavy plan only stands when no crossed segment fits
-            # any K (then no plan here has n1 > 0 and ELL is skipped).
-            continue
-        for k2 in (0, k1 * 2, k1 * 4, k1 * 8):
-            if k2 > 32:
+    for size in range(1, max_tiers + 1):
+        for ks in itertools.combinations(kset, size):
+            masks = []
+            prev = None
+            counts = []
+            ok = True
+            for k in ks:
+                t = valid & (runs_per_seg <= k)
+                if prev is not None:
+                    t = t & ~prev
+                n_t = int(t.sum())
+                if n_t == 0:
+                    ok = False  # equivalent to a smaller subset
+                    break
+                masks.append(t)
+                counts.append(n_t)
+                prev = t if prev is None else (prev | t)
+            if not ok:
                 continue
-            t2 = (
-                valid & ~t1 & (runs_per_seg <= k2)
-                if k2
-                else np.zeros_like(t1)
+            nh = n_crossed - sum(counts)
+            cost = sum(
+                C_TIER_FIXED + C_SLOT_MARG * k * pad(n_t)
+                for k, n_t in zip(ks, counts)
             )
-            n2 = int(t2.sum())
-            nh = int(crossed.sum()) - n1 - n2
-            cost = (
-                C_SLOT * k1 * pad(n1)
-                + C_SLOT * k2 * pad(n2)
-                + c_heavy * nh
-            )
+            if nh:
+                cost += C_TIER_FIXED + C_HEAVY_PER_PATH * p_pad * nh
             if best is None or cost < best[0]:
-                best = (cost, k1, k2, t2, t1)
+                best = (cost, ks, masks)
     if best is None:
         # No crossed segment fits any K: everything heavy (the ingest
         # gate then skips ELL and the dense/scan indexes serve).
-        empty = np.zeros_like(valid)
-        return 1, 0, empty, empty, crossed.copy()
-    _, k1, k2, t2, t1 = best
-    # Every candidate plan with an empty tier-1 was skipped above, so
-    # the ingest gate (`if nl`) can never drop a selected index.
-    assert t1.any()
-    heavy = crossed & ~t1 & ~t2
-    return k1, k2, t1, t2, heavy
+        return (), [], crossed.copy()
+    _, ks, masks = best
+    covered = np.zeros_like(crossed)
+    for t in masks:
+        covered |= t
+    return ks, masks, crossed & ~covered
+
+
+def plan_ell_tiers(
+    runs_per_seg: np.ndarray,
+    big_seg: np.ndarray,
+    p_pad: int,
+) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-tier compatibility form of :func:`plan_ell_tiers_n`.
+
+    Returns ``(k1, k2, tier1_mask, tier2_mask, heavy_mask)`` with
+    ``k2 == 0`` (and an all-false tier2) when a middle tier does not
+    pay; the remainder (``~t1 & ~t2 & ~heavy``) is the empty class."""
+    ks, masks, heavy = plan_ell_tiers_n(
+        runs_per_seg, big_seg, p_pad, max_tiers=2
+    )
+    empty = np.zeros_like(heavy)
+    if not ks:
+        return 1, 0, empty, empty, heavy
+    if len(ks) == 1:
+        return ks[0], 0, masks[0], empty, heavy
+    return ks[0], ks[1], masks[0], masks[1], heavy
 
 
 def plan_ell(
@@ -661,29 +697,23 @@ def masked_ell_split_depth(
 # (flatgfa/src/ops/depth.rs answers one query per call).
 
 
-def _kernel_split3_batch(
+def _kernel_splitn_batch(
     mask_ref,  # SMEM int32[Q, n_words] packed mask words
     m_ref,  # VMEM bf16 (Q8, P_pad) folded masks
-    ell_ref,
-    ell2_ref,
-    h_ref,
-    ld_ref,
-    lu_ref,  # light outputs (Q*SUB, TALL_W)
-    md_ref,
-    mu_ref,  # tier-2 outputs (Q*SUB, TALL_W)
-    hd_ref,
-    hu_ref,  # heavy outputs (Q8, hw)
-    *,
+    *refs,  # tier inputs..., [heavy], tier d/u pairs..., [heavy d/u]
     n_words,
-    k,
-    k2,
-    gl,
-    g2,
+    ks,
+    gs,
     q,
+    has_heavy,
 ):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
+    nt = len(ks)
+    tier_in = refs[:nt]
+    h_ref = refs[nt] if has_heavy else None
+    outs = refs[nt + (1 if has_heavy else 0) :]
 
     def tier(ref, d_ref, u_ref, kk_slots):
         a = ref[:]
@@ -709,37 +739,40 @@ def _kernel_split3_batch(
             d_ref[qq * SUB : (qq + 1) * SUB] = depth
             u_ref[qq * SUB : (qq + 1) * SUB] = uniq
 
-    @pl.when(i < gl)
-    def _tier1():
-        tier(ell_ref, ld_ref, lu_ref, k)
+    off = 0
+    for t in range(nt):
+        lo, hi = off, off + gs[t]
 
-    if g2:
+        @pl.when(jnp.logical_and(i >= lo, i < hi))
+        def _tier(t=t):
+            tier(tier_in[t], outs[2 * t], outs[2 * t + 1], ks[t])
 
-        @pl.when(jnp.logical_and(i >= gl, i < gl + g2))
-        def _tier2():
-            tier(ell2_ref, md_ref, mu_ref, k2)
+        off = hi
 
-    @pl.when(i >= gl + g2)
-    def _heavy():
-        from .crossmat import _unpack_tile
+    if has_heavy:
+        g_tiers = off
 
-        a = _unpack_tile(h_ref[:])  # (P_pad, hw) bf16
-        m = m_ref[:]  # (Q8, P_pad)
-        depth = jax.lax.dot_general(
-            m,
-            a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ind = jnp.minimum(a, jnp.bfloat16(1))
-        uniq = jax.lax.dot_general(
-            m,
-            ind,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        hd_ref[:] = depth.astype(jnp.int32)
-        hu_ref[:] = uniq.astype(jnp.int32)
+        @pl.when(i >= g_tiers)
+        def _heavy():
+            from .crossmat import _unpack_tile
+
+            a = _unpack_tile(h_ref[:])  # (P_pad, hw) bf16
+            m = m_ref[:]  # (Q8, P_pad)
+            depth = jax.lax.dot_general(
+                m,
+                a,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ind = jnp.minimum(a, jnp.bfloat16(1))
+            uniq = jax.lax.dot_general(
+                m,
+                ind,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs[2 * nt][:] = depth.astype(jnp.int32)
+            outs[2 * nt + 1][:] = uniq.astype(jnp.int32)
 
 
 def _tall_batch_to_natural(x: jax.Array, g: int, q: int) -> jax.Array:
@@ -752,38 +785,39 @@ def _tall_batch_to_natural(x: jax.Array, g: int, q: int) -> jax.Array:
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "k2", "interpret")
-)
-def masked_ell_split3_depth_batch(
-    ell_tall: jax.Array,  # int32[G1*K*SUB, TALL_W] tier-1 slots
-    ell2_tall: jax.Array,  # int32[G2*K2*SUB, TALL_W] or (0, 0)
+@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+def masked_ell_splitn_depth_batch(
+    tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
     heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
     masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
-    k: int,
-    k2: int = 0,
+    ks,
     interpret: bool = False,
 ):
-    """Fused batched split query: Q masks in one Pallas pass. Returns
-    ``(d1, u1, d2, u2, dh, uh)`` with shapes (Q, class_cols); the
-    tier-2/heavy pairs are None when the class is absent."""
+    """Fused batched split query, any tier count: Q masks in one Pallas
+    pass. Returns ``(d_t, u_t)`` per tier of shape (Q, tier_cols),
+    then ``(dh, uh)`` of shape (Q, heavy_cols) (or None, None when the
+    heavy class is absent)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .crossmat import fold_mask, pick_seg_block
 
     q, p = masks.shape
-    has_mid = ell2_tall.size > 0 and k2 > 0
-    has_heavy = heavy.size > 0
-    assert ell_tall.shape[1] == TALL_W
-    gl = ell_tall.shape[0] // (k * SUB)
-    g2 = ell2_tall.shape[0] // (k2 * SUB) if has_mid else 0
+    nt = len(tiers)
+    assert nt == len(ks) and nt >= 1
+    gs = []
+    for t, k in zip(tiers, ks):
+        assert t.shape[1] == TALL_W and t.shape[0] % (k * SUB) == 0
+        gs.append(t.shape[0] // (k * SUB))
+    gs = tuple(gs)
+    g_tiers = sum(gs)
 
     n_words = -(-p // 32)
     words = jnp.stack(
         [pack_mask_words(masks[i], n_words) for i in range(q)]
     )
 
+    has_heavy = heavy.size > 0
     if has_heavy:
         h_rows, nh_pad = heavy.shape
         p_pad = h_rows * 2
@@ -801,108 +835,116 @@ def masked_ell_split3_depth_batch(
         h_rows, hw, gh, q8 = 1, LANES, 0, 8
         heavy = jnp.zeros((1, LANES), jnp.uint8)
         m = jnp.zeros((q8, 2), jnp.bfloat16)
-    if not has_mid:
-        k2_eff = 1
-        ell2_tall = jnp.zeros((SUB, TALL_W), jnp.int32)
-    else:
-        k2_eff = k2
 
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)
 
-    specs = dict(
-        ell=pl.BlockSpec(
-            (k * SUB, TALL_W),
-            lambda i: (clamp(i, 0, gl - 1), 0),
+    offs = [sum(gs[:t]) for t in range(nt)]
+    tier_specs = [
+        pl.BlockSpec(
+            (ks[t] * SUB, TALL_W),
+            (lambda t: lambda i: (
+                clamp(i - offs[t], 0, gs[t] - 1), 0
+            ))(t),
             memory_space=pltpu.VMEM,
-        ),
-        ell2=pl.BlockSpec(
-            (k2_eff * SUB, TALL_W),
-            lambda i: (clamp(i - gl, 0, max(g2 - 1, 0)), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        h=pl.BlockSpec(
-            (h_rows, hw),
-            lambda i: (0, clamp(i - gl - g2, 0, max(gh - 1, 0))),
-            memory_space=pltpu.VMEM,
-        ),
-        lo=pl.BlockSpec(
-            (q * SUB, TALL_W),
-            lambda i: (clamp(i, 0, gl - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        mo=pl.BlockSpec(
-            (q * SUB, TALL_W),
-            lambda i: (clamp(i - gl, 0, max(g2 - 1, 0)), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        ho=pl.BlockSpec(
-            (q8, hw),
-            lambda i: (clamp(i - gl - g2, 0, max(gh - 1, 0)), 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    with jax.enable_x64(False):
-        d1, u1, d2, u2, dh, uh = pl.pallas_call(
-            functools.partial(
-                _kernel_split3_batch,
-                n_words=n_words,
-                k=k,
-                k2=k2_eff,
-                gl=gl,
-                g2=g2,
-                q=q,
-            ),
-            grid=(gl + g2 + gh,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                specs["ell"],
-                specs["ell2"],
-                specs["h"],
-            ],
-            out_specs=(
-                specs["lo"],
-                specs["lo"],
-                specs["mo"],
-                specs["mo"],
-                specs["ho"],
-                specs["ho"],
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((gl * q * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct((gl * q * SUB, TALL_W), jnp.int32),
-                jax.ShapeDtypeStruct(
-                    (max(g2, 1) * q * SUB, TALL_W), jnp.int32
-                ),
-                jax.ShapeDtypeStruct(
-                    (max(g2, 1) * q * SUB, TALL_W), jnp.int32
-                ),
-                jax.ShapeDtypeStruct((max(gh, 1) * q8, hw), jnp.int32),
-                jax.ShapeDtypeStruct((max(gh, 1) * q8, hw), jnp.int32),
-            ),
-            interpret=interpret,
-        )(words, m, ell_tall, ell2_tall, heavy)
-    out1 = (
-        _tall_batch_to_natural(d1, gl, q),
-        _tall_batch_to_natural(u1, gl, q),
-    )
-    out2 = (
-        (
-            _tall_batch_to_natural(d2, g2, q),
-            _tall_batch_to_natural(u2, g2, q),
         )
-        if has_mid
-        else (None, None)
+        for t in range(nt)
+    ]
+    tier_out_specs = [
+        pl.BlockSpec(
+            (q * SUB, TALL_W),
+            (lambda t: lambda i: (
+                clamp(i - offs[t], 0, gs[t] - 1), 0
+            ))(t),
+            memory_space=pltpu.VMEM,
+        )
+        for t in range(nt)
+    ]
+    h_spec = pl.BlockSpec(
+        (h_rows, hw),
+        lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+        memory_space=pltpu.VMEM,
     )
+    ho_spec = pl.BlockSpec(
+        (q8, hw),
+        lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        *tier_specs,
+    ]
+    ins = [*tiers]
+    out_specs = []
+    out_shape = []
+    for t in range(nt):
+        out_specs += [tier_out_specs[t], tier_out_specs[t]]
+        s = jax.ShapeDtypeStruct((gs[t] * q * SUB, TALL_W), jnp.int32)
+        out_shape += [s, s]
     if has_heavy:
-        outh = (
-            dh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1),
-            uh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1),
+        in_specs.append(h_spec)
+        ins.append(heavy)
+        out_specs += [ho_spec, ho_spec]
+        s = jax.ShapeDtypeStruct((gh * q8, hw), jnp.int32)
+        out_shape += [s, s]
+
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            functools.partial(
+                _kernel_splitn_batch,
+                n_words=n_words,
+                ks=tuple(ks),
+                gs=gs,
+                q=q,
+                has_heavy=has_heavy,
+            ),
+            grid=(g_tiers + gh,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(words, m, *ins)
+    result = []
+    for t in range(nt):
+        result.append(_tall_batch_to_natural(outs[2 * t], gs[t], q))
+        result.append(_tall_batch_to_natural(outs[2 * t + 1], gs[t], q))
+    if has_heavy:
+        dh, uh = outs[2 * nt], outs[2 * nt + 1]
+        result.append(
+            dh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1)
+        )
+        result.append(
+            uh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1)
         )
     else:
-        outh = (None, None)
-    return (*out1, *out2, *outh)
+        result += [None, None]
+    return tuple(result)
+
+
+def masked_ell_split3_depth_batch(
+    ell_tall: jax.Array,  # int32[G1*K*SUB, TALL_W] tier-1 slots
+    ell2_tall: jax.Array,  # int32[G2*K2*SUB, TALL_W] or (0, 0)
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
+    masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
+    k: int,
+    k2: int = 0,
+    interpret: bool = False,
+):
+    """Two-tier compatibility wrapper over
+    :func:`masked_ell_splitn_depth_batch`. Returns
+    ``(d1, u1, d2, u2, dh, uh)``; absent classes are None."""
+    has_mid = ell2_tall.size > 0 and k2 > 0
+    tiers = (ell_tall, ell2_tall) if has_mid else (ell_tall,)
+    ks = (k, k2) if has_mid else (k,)
+    outs = masked_ell_splitn_depth_batch(
+        tiers, heavy, masks, ks=ks, interpret=interpret
+    )
+    if has_mid:
+        return outs
+    d1, u1, dh, uh = outs
+    return d1, u1, None, None, dh, uh
 
 
 @jax.jit

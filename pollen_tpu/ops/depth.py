@@ -219,18 +219,21 @@ def seg_depth_with_uniq_ell_parts(
     at ingest — no part at all.
 
     Returns ``(d1, u1, d2, u2, dh, uh)``; the tier-2 and heavy pairs
-    are None when the class is absent."""
+    are None when the class is absent. When a third tier exists
+    (``dg.ell_k3``), its part is folded into the mid pair — ``d2``/
+    ``u2`` then hold exactly ``ell_num_mid + ell_num_mid2`` entries in
+    ``ell_order`` order (tier-2 columns first)."""
     from ..kernels.crossmat import masked_cross_depth, masked_cross_depth_xla
     from ..kernels.ellscan import (
         masked_ell_depth_tall,
         masked_ell_depth_xla,
-        masked_ell_split3_depth,
-        masked_ell_split_depth,
+        masked_ell_splitn_depth,
         unfold_ell_tall,
     )
 
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
     has_mid = dg.cross_ell2.size > 0
+    has_mid2 = dg.cross_ell3.size > 0
     has_heavy = dg.ell_heavy.size > 0
     # The fused pass needs the heavy step count divisible by 8 (the
     # row-rotated output); SEG_BLOCK-padded heavy columns (big graphs)
@@ -239,37 +242,60 @@ def seg_depth_with_uniq_ell_parts(
 
     fusable = has_heavy and dg.ell_heavy.shape[1] % SEG_BLOCK == 0
 
-    def tier1():
+    def tier_x(tall, k):
         if pallas:
-            return masked_ell_depth_tall(dg.cross_ell, m, k=dg.ell_k)
-        return masked_ell_depth_xla(
-            unfold_ell_tall(dg.cross_ell, dg.ell_k), m
-        )
+            return masked_ell_depth_tall(tall, m, k=k)
+        return masked_ell_depth_xla(unfold_ell_tall(tall, k), m)
 
-    def tier2():
-        if pallas:
-            return masked_ell_depth_tall(dg.cross_ell2, m, k=dg.ell_k2)
-        return masked_ell_depth_xla(
-            unfold_ell_tall(dg.cross_ell2, dg.ell_k2), m
+    def cat_mid(d2, u2, d3, u3):
+        # Fold tier-3 into the mid pair: exact-length concat in
+        # ell_order order (tier-2 columns first). Cheap device op —
+        # a few hundred KB at most.
+        nm, nm2 = dg.ell_num_mid, dg.ell_num_mid2
+        return (
+            jnp.concatenate([d2[:nm], d3[:nm2]]),
+            jnp.concatenate([u2[:nm], u3[:nm2]]),
         )
 
     d2 = u2 = dh = uh = None
-    if pallas and fusable and has_mid:
-        # One fused Pallas pass over all three classes: separate calls
+    if pallas and fusable:
+        # One fused Pallas pass over every class: separate calls
         # serialize (measured 9.7 + 11.2 us alone vs 19.3 us
         # back-to-back for the two-phase form at bench shape).
-        d1, u1, d2, u2, dh, uh = masked_ell_split3_depth(
-            dg.cross_ell, dg.cross_ell2, dg.ell_heavy, m,
-            k=dg.ell_k, k2=dg.ell_k2,
-        )
-    elif pallas and fusable:
-        d1, u1, dh, uh = masked_ell_split_depth(
-            dg.cross_ell, dg.ell_heavy, m, k=dg.ell_k
-        )
-    else:
-        d1, u1 = tier1()
+        tiers = [dg.cross_ell]
+        ks = [dg.ell_k]
         if has_mid:
-            d2, u2 = tier2()
+            tiers.append(dg.cross_ell2)
+            ks.append(dg.ell_k2)
+        if has_mid2:
+            tiers.append(dg.cross_ell3)
+            ks.append(dg.ell_k3)
+        outs = masked_ell_splitn_depth(
+            tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+        )
+        d1, u1 = outs[0], outs[1]
+        i = 2
+        if has_mid:
+            d2, u2 = outs[i], outs[i + 1]
+            i += 2
+        if has_mid2:
+            d3, u3 = outs[i], outs[i + 1]
+            i += 2
+            if has_mid:
+                d2, u2 = cat_mid(d2, u2, d3, u3)
+            else:
+                d2, u2 = d3, u3
+        dh, uh = outs[i], outs[i + 1]
+    else:
+        d1, u1 = tier_x(dg.cross_ell, dg.ell_k)
+        if has_mid:
+            d2, u2 = tier_x(dg.cross_ell2, dg.ell_k2)
+        if has_mid2:
+            d3, u3 = tier_x(dg.cross_ell3, dg.ell_k3)
+            if has_mid:
+                d2, u2 = cat_mid(d2, u2, d3, u3)
+            else:
+                d2, u2 = d3, u3
         if has_heavy:
             p_pad = dg.ell_heavy.shape[0] * 2
             mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(m)
@@ -304,7 +330,8 @@ def seg_depth_with_uniq_ell_permuted(
     n = dg.num_segments
     if d2 is None and dh is None and not dg.ell_order.shape[0]:
         return d1[:n], u1[:n]
-    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    nl, nh = dg.ell_num_light, dg.ell_num_heavy
+    nm = dg.ell_num_mid + dg.ell_num_mid2  # mid part folds tiers 2+3
     ne = n - nl - nm - nh
     zero = jnp.zeros(ne, jnp.int32)
     dparts = [d1[:nl]] + (
@@ -330,7 +357,8 @@ def seg_depth_with_uniq_ell(
     n = dg.num_segments
     if d2 is None and dh is None and not dg.ell_order.shape[0]:
         return d1[:n], u1[:n]
-    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    nl, nh = dg.ell_num_light, dg.ell_num_heavy
+    nm = dg.ell_num_mid + dg.ell_num_mid2  # mid part folds tiers 2+3
     ne = n - nl - nm - nh
     dparts = [np.asarray(jax.device_get(d1))[:nl]]
     uparts = [np.asarray(jax.device_get(u1))[:nl]]
@@ -407,7 +435,12 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
         n_words = -(-max(dg.num_paths, 1) // 32)
         per_slot = 4 + 2 * n_words
         costs["ell"] = (
-            per_slot * (dg.cross_ell.size + dg.cross_ell2.size)
+            per_slot
+            * (
+                dg.cross_ell.size
+                + dg.cross_ell2.size
+                + dg.cross_ell3.size
+            )
             # Nibble sub-matrix: DMA + unpack, charged at the SAME
             # measured per-byte cost the ingest tier planner uses
             # (kernels/ellscan.py) so split and routing agree.
@@ -443,24 +476,51 @@ def seg_depth_with_uniq_ell_batch_parts(
     from ..kernels.crossmat import batched_cross_depth
     from ..kernels.ellscan import (
         masked_ell_depth_xla,
-        masked_ell_split3_depth_batch,
+        masked_ell_splitn_depth_batch,
         unfold_ell_tall,
     )
 
     q = path_masks.shape[0]
     m = path_masks.astype(jnp.int32)[:, : dg.num_paths]
     has_mid = dg.cross_ell2.size > 0
+    has_mid2 = dg.cross_ell3.size > 0
     has_heavy = dg.ell_heavy.size > 0
 
-    if pallas:
-        d1, u1, d2, u2, dh, uh = masked_ell_split3_depth_batch(
-            dg.cross_ell,
-            dg.cross_ell2,
-            dg.ell_heavy,
-            m,
-            k=dg.ell_k,
-            k2=dg.ell_k2 if has_mid else 0,
+    def cat_mid_b(d2, u2, d3, u3):
+        # Fold tier-3 into the mid pair (exact lengths, ell_order
+        # order: tier-2 columns first), as the single-query form does.
+        nm, nm2 = dg.ell_num_mid, dg.ell_num_mid2
+        return (
+            jnp.concatenate([d2[:, :nm], d3[:, :nm2]], axis=1),
+            jnp.concatenate([u2[:, :nm], u3[:, :nm2]], axis=1),
         )
+
+    if pallas:
+        tiers = [dg.cross_ell]
+        ks = [dg.ell_k]
+        if has_mid:
+            tiers.append(dg.cross_ell2)
+            ks.append(dg.ell_k2)
+        if has_mid2:
+            tiers.append(dg.cross_ell3)
+            ks.append(dg.ell_k3)
+        outs = masked_ell_splitn_depth_batch(
+            tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+        )
+        d1, u1 = outs[0], outs[1]
+        i = 2
+        d2 = u2 = None
+        if has_mid:
+            d2, u2 = outs[i], outs[i + 1]
+            i += 2
+        if has_mid2:
+            d3, u3 = outs[i], outs[i + 1]
+            i += 2
+            if has_mid:
+                d2, u2 = cat_mid_b(d2, u2, d3, u3)
+            else:
+                d2, u2 = d3, u3
+        dh, uh = outs[i], outs[i + 1]
     else:
         flat = unfold_ell_tall(dg.cross_ell, dg.ell_k)
         d1, u1 = jax.vmap(masked_ell_depth_xla, in_axes=(None, 0))(
@@ -472,6 +532,15 @@ def seg_depth_with_uniq_ell_batch_parts(
             d2, u2 = jax.vmap(
                 masked_ell_depth_xla, in_axes=(None, 0)
             )(flat2, m)
+        if has_mid2:
+            flat3 = unfold_ell_tall(dg.cross_ell3, dg.ell_k3)
+            d3, u3 = jax.vmap(
+                masked_ell_depth_xla, in_axes=(None, 0)
+            )(flat3, m)
+            if has_mid:
+                d2, u2 = cat_mid_b(d2, u2, d3, u3)
+            else:
+                d2, u2 = d3, u3
         if has_heavy:
             p_pad = dg.ell_heavy.shape[0] * 2
             mp = (
@@ -512,7 +581,8 @@ def seg_depth_with_uniq_ell_batch(
     )
     q = path_masks.shape[0]
     n = dg.num_segments
-    nl, nm, nh = dg.ell_num_light, dg.ell_num_mid, dg.ell_num_heavy
+    nl, nh = dg.ell_num_light, dg.ell_num_heavy
+    nm = dg.ell_num_mid + dg.ell_num_mid2  # mid part folds tiers 2+3
     if d2 is None and dh is None and not dg.ell_order.shape[0]:
         return (
             np.asarray(jax.device_get(d1))[:, :n],

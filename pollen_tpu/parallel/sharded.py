@@ -513,11 +513,13 @@ class ShardedEll(NamedTuple):
 
     ell: jax.Array  # int32[K1, light_width * n_dev], column-sharded
     ell2: jax.Array | None  # int32[K2, mid_width * n_dev] or None
+    ell3: jax.Array | None  # int32[K3, mid2_width * n_dev] or None
     heavy: jax.Array | None  # uint8[P_pad/2, heavy_width * n_dev] or None
     heavy_res: jax.Array  # int32[P_pad, K3_pad], replicated
     heavy_res_col: jax.Array  # int32[K3_pad], replicated (sentinel-padded)
     light_width: int  # tier-1 columns per device
     mid_width: int  # tier-2 columns per device
+    mid2_width: int  # tier-3 columns per device
     heavy_width: int  # heavy columns per device
     num_paths: int
     nibble_rows: int  # ell_heavy row count (P_pad / 2)
@@ -556,6 +558,12 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
         flat2 = unfold_ell_tall(np.asarray(dg.cross_ell2), dg.ell_k2)
         e2, mw = _pad_cols(np.ascontiguousarray(flat2), n_dev)
         ell2 = jax.device_put(jnp.asarray(e2), col_shard)
+    ell3 = None
+    m2w = 0
+    if dg.cross_ell3.size:
+        flat3 = unfold_ell_tall(np.asarray(dg.cross_ell3), dg.ell_k3)
+        e3, m2w = _pad_cols(np.ascontiguousarray(flat3), n_dev)
+        ell3 = jax.device_put(jnp.asarray(e3), col_shard)
     heavy = None
     hw = 0
     rows = 0
@@ -566,11 +574,13 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
     return ShardedEll(
         ell=jax.device_put(jnp.asarray(e), col_shard),
         ell2=ell2,
+        ell3=ell3,
         heavy=heavy,
         heavy_res=jax.device_put(dg.ell_heavy_res, repl),
         heavy_res_col=jax.device_put(dg.ell_heavy_res_col, repl),
         light_width=lw,
         mid_width=mw,
+        mid2_width=m2w,
         heavy_width=hw,
         num_paths=dg.num_paths,
         nibble_rows=rows,
@@ -578,7 +588,10 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
 
 
 def sharded_ell_depth_fn(
-    mesh: Mesh, has_heavy: bool = False, has_mid: bool = False
+    mesh: Mesh,
+    has_heavy: bool = False,
+    has_mid: bool = False,
+    has_mid2: bool = False,
 ):
     """Mesh-wide masked (depth, uniq) over the tiered split ELL run
     index — the same zero-collective tensor parallelism as the sharded
@@ -609,6 +622,9 @@ def sharded_ell_depth_fn(
             outs = list(_tier(wargs[i], mask))
             i += 1
             if has_mid:
+                outs += list(_tier(wargs[i], mask))
+                i += 1
+            if has_mid2:
                 outs += list(_tier(wargs[i], mask))
                 i += 1
             if has_heavy:
@@ -648,10 +664,11 @@ def sharded_ell_depth_fn(
         in_specs = (
             [shard]
             + ([shard] if has_mid else [])
+            + ([shard] if has_mid2 else [])
             + ([shard, P(), P()] if has_heavy else [])
             + [P()]
         )
-        n_out = 2 + 2 * has_mid + 2 * has_heavy
+        n_out = 2 + 2 * has_mid + 2 * has_mid2 + 2 * has_heavy
         return jax.shard_map(
             worker,
             mesh=mesh,
@@ -663,18 +680,24 @@ def sharded_ell_depth_fn(
 
 
 def compose_ell_parts_natural(
-    dg: DeviceGraph, parts, has_mid: bool, has_heavy: bool
+    dg: DeviceGraph,
+    parts,
+    has_mid: bool,
+    has_heavy: bool,
+    has_mid2: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Reassemble a sharded (or single-device) tiered-ELL query's
     per-class part vectors into natural segment order on the host:
     slice each present class to its true size, append the empty
     class's zeros, and invert the ingest permutation ``ell_order``.
     ``parts`` is the flat (d, u) interleaving the sharded query
-    returns: (d1, u1[, d2, u2][, dh, uh])."""
+    returns: (d1, u1[, d2, u2][, d3, u3][, dh, uh])."""
     n = dg.num_segments
     counts = [dg.ell_num_light]
     if has_mid:
         counts.append(dg.ell_num_mid)
+    if has_mid2:
+        counts.append(dg.ell_num_mid2)
     if has_heavy:
         counts.append(dg.ell_num_heavy)
     d_parts = [np.asarray(parts[2 * i])[:c] for i, c in enumerate(counts)]

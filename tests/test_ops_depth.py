@@ -219,3 +219,131 @@ def test_batch_router_prefers_ell():
     )
     np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_e))
     np.testing.assert_array_equal(np.asarray(u_b), np.asarray(u_e))
+
+
+def _three_tier_graph(n1=40000, n2=40000, n3=20000, nh=200, p=64):
+    """A synthetic arena whose run distribution makes the planner pick
+    THREE tiers (r runs/segment = 1, 4, 16 for the tier blocks) plus a
+    small heavy class (40 runs > the largest K). The tests zero
+    C_TIER_FIXED so the fixture stays small; the marginal tall-pad
+    economics then favor the full split."""
+    from pollen_tpu.flatgfa import GraphArrays
+
+    n = n1 + n2 + n3 + nh
+    seg_ids = []
+    path_ids = []
+    blocks = (
+        (0, n1, 1),
+        (n1, n2, 4),
+        (n1 + n2, n3, 16),
+        (n1 + n2 + n3, nh, 40),
+    )
+    for base, count, r in blocks:
+        s = np.arange(base, base + count, dtype=np.int64)
+        for i in range(r):
+            seg_ids.append(s)
+            path_ids.append((s + i) % p)
+    seg = np.concatenate(seg_ids)
+    pth = np.concatenate(path_ids)
+    order = np.argsort(pth, kind="stable")
+    seg, pth = seg[order], pth[order]
+    steps = (seg.astype(np.uint32) << np.uint32(1))
+    counts = np.bincount(pth, minlength=p)
+    bounds = np.concatenate(([0], np.cumsum(counts))).astype(np.uint32)
+    path_steps = np.stack([bounds[:-1], bounds[1:]], axis=1)
+    seg_lens = np.ones(n, np.uint32)
+    sb = np.concatenate(([0], np.cumsum(seg_lens))).astype(np.uint32)
+    return GraphArrays(
+        header=np.zeros(0, np.uint8),
+        seg_name=np.arange(1, n + 1, dtype=np.int64),
+        seg_seq=np.stack([sb[:-1], sb[1:]], axis=1),
+        seg_optional=np.zeros((n, 2), np.uint32),
+        path_name=np.zeros((p, 2), np.uint32),
+        path_steps=path_steps,
+        path_overlaps=np.zeros((p, 2), np.uint32),
+        link_from=np.zeros(0, np.uint32),
+        link_to=np.zeros(0, np.uint32),
+        link_overlap=np.zeros((0, 2), np.uint32),
+        steps=steps,
+        seq_data=np.zeros(int(sb[-1]), np.uint8),
+        overlaps=np.zeros((0, 2), np.uint32),
+        alignment=np.zeros(0, np.uint32),
+        name_data=np.zeros(0, np.uint8),
+        optional_data=np.zeros(0, np.uint8),
+        line_order=np.zeros(0, np.uint8),
+    )
+
+
+def test_three_tier_split_exact(monkeypatch):
+    """When the planner picks a third tier, the single-query, batch,
+    and natural-order compositions all stay exact."""
+    import jax.numpy as jnp
+
+    from pollen_tpu.device import build_device_graph
+    from pollen_tpu.kernels import ellscan
+
+    monkeypatch.setattr(ellscan, "C_TIER_FIXED", 0.0)
+    g = _three_tier_graph()
+    dg = build_device_graph(g)
+    assert dg.ell_k3 > 0 and dg.ell_num_mid2 > 0, (
+        dg.ell_k, dg.ell_k2, dg.ell_k3, dg.ell_num_mid, dg.ell_num_mid2
+    )
+    rng = np.random.default_rng(41)
+    mask = jnp.asarray(rng.integers(0, 2, dg.num_paths).astype(bool))
+    d_ref, u_ref = depth_op.seg_depth_with_uniq_masked(dg, mask)
+    d_e, u_e = depth_op.seg_depth_with_uniq_ell(dg, mask)
+    np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_ref))
+
+    masks = jnp.asarray(rng.integers(0, 2, (3, dg.num_paths)).astype(bool))
+    d_b, u_b = depth_op.seg_depth_with_uniq_ell_batch(dg, masks)
+    for q in range(3):
+        d1, u1 = depth_op.seg_depth_with_uniq_masked(dg, masks[q])
+        np.testing.assert_array_equal(d_b[q], np.asarray(d1))
+        np.testing.assert_array_equal(u_b[q], np.asarray(u1))
+
+
+def test_three_tier_sharded_exact(monkeypatch):
+    """Sharded tiered ELL with a live third tier equals the
+    single-device reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from pollen_tpu.device import build_device_graph
+    from pollen_tpu.kernels import ellscan
+    from pollen_tpu.parallel import make_mesh
+    from pollen_tpu.parallel.sharded import (
+        compose_ell_parts_natural,
+        shard_ell_inputs,
+        sharded_ell_depth_fn,
+    )
+
+    monkeypatch.setattr(ellscan, "C_TIER_FIXED", 0.0)
+    g = _three_tier_graph()
+    dg = build_device_graph(g)
+    mesh = make_mesh(jax.devices()[:8])
+    se = shard_ell_inputs(dg, mesh)
+    assert se is not None and se.ell3 is not None
+    rng = np.random.default_rng(43)
+    bools = rng.integers(0, 2, dg.num_paths).astype(bool)
+    m = jnp.asarray(bools.astype(np.int32))
+    args = [se.ell]
+    has_mid = se.ell2 is not None
+    if has_mid:
+        args.append(se.ell2)
+    args.append(se.ell3)
+    has_heavy = se.heavy is not None
+    if has_heavy:
+        args += [se.heavy, se.heavy_res, se.heavy_res_col]
+    args.append(m)
+    parts = sharded_ell_depth_fn(
+        mesh, has_heavy=has_heavy, has_mid=has_mid, has_mid2=True
+    )(*args)
+    d_e, u_e = compose_ell_parts_natural(
+        dg, parts, has_mid=has_mid, has_heavy=has_heavy, has_mid2=True
+    )
+    d_ref, u_ref = depth_op.seg_depth_with_uniq_masked(
+        dg, jnp.asarray(bools)
+    )
+    np.testing.assert_array_equal(d_e, np.asarray(d_ref))
+    np.testing.assert_array_equal(u_e, np.asarray(u_ref))

@@ -143,18 +143,22 @@ def _sharded_ell_natural(dg, se, mesh, bools):
 
     m = jnp.asarray(bools.astype(np.int32))
     has_mid = se.ell2 is not None
+    has_mid2 = se.ell3 is not None
     has_heavy = se.heavy is not None
     args = [se.ell]
     if has_mid:
         args.append(se.ell2)
+    if has_mid2:
+        args.append(se.ell3)
     if has_heavy:
         args += [se.heavy, se.heavy_res, se.heavy_res_col]
     args.append(m)
     parts = sharded_ell_depth_fn(
-        mesh, has_heavy=has_heavy, has_mid=has_mid
+        mesh, has_heavy=has_heavy, has_mid=has_mid, has_mid2=has_mid2
     )(*args)
     return compose_ell_parts_natural(
-        dg, parts, has_mid=has_mid, has_heavy=has_heavy
+        dg, parts, has_mid=has_mid, has_heavy=has_heavy,
+        has_mid2=has_mid2,
     )
 
 
