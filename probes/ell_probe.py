@@ -292,10 +292,11 @@ def main():
         mask = jnp.ones(dg.num_paths, jnp.int32)
 
         def time_fn(fn, args):
+            chained = _chain2(fn)  # ONE jit; k is a runtime argument
             k = 6
             while True:
                 per_iter, raw = _time_chain_raw(
-                    _chain2(fn), (args[0], jnp.int32(k), *args[1:]), 2, k
+                    chained, (args[0], jnp.int32(k), *args[1:]), 2, k
                 )
                 if raw >= 0.29 or k >= 65536:
                     return per_iter
