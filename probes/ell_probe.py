@@ -276,6 +276,86 @@ def main():
             flush=True,
         )
 
+    elif stage.startswith("ellcal1"):
+        # One calibration point per process (the tunnel's death windows
+        # punish multi-compile processes — CLAUDE.md): ``ellcal1
+        # tier:K:G`` or ``ellcal1 heavy:W``. Results feed the planner /
+        # router constants (ellscan.C_*, ops/depth._masked_impl_costs).
+        from pollen_tpu.kernels.ellscan import (
+            SUB,
+            TALL_W,
+            masked_ell_depth_tall,
+        )
+        from pollen_tpu.kernels.crossmat import masked_cross_depth
+
+        spec = sys.argv[2]
+        rng = np.random.default_rng(12)
+
+        def chain2(fn):
+            @jax.jit
+            def chained(mask, k, *rest):
+                def body(i, carry):
+                    mask, acc = carry
+                    d, u = fn(mask, *rest)
+                    mask = jnp.roll(mask, 1).at[0].set(d[0] % 2)
+                    return mask, acc + d[-1] + u[-1]
+
+                _, acc = jax.lax.fori_loop(
+                    0, k, body, (mask, jnp.int32(0))
+                )
+                return acc
+
+            return chained
+
+        def time_one(fn, args):
+            chained = chain2(fn)
+            k = 6
+            while True:
+                per_iter, raw = _time_chain_raw(
+                    chained, (args[0], jnp.int32(k), *args[1:]), 2, k
+                )
+                if raw >= 0.29 or k >= 65536:
+                    return per_iter
+                k *= 8
+
+        kind, *params = spec.split(":")
+        if kind == "tier":
+            kk, g = int(params[0]), int(params[1])
+            rows = g * kk * SUB
+            tall = jnp.asarray(
+                rng.integers(0, 1 << 22, (rows, TALL_W), dtype=np.int32)
+            )
+            mask = jnp.ones(dg.num_paths, jnp.int32)
+
+            def q(mask, tall):
+                return masked_ell_depth_tall(tall, mask, k=kk)
+
+            per = time_one(q, (mask, tall))
+            print(
+                f"ellcal1 tier k={kk} g={g}: {per * 1e6:.2f} us "
+                f"({rows * TALL_W} slots)",
+                flush=True,
+            )
+        else:
+            w = int(params[0])
+            p_pad = 128
+            hm = jnp.asarray(
+                rng.integers(
+                    0, 256, (p_pad // 2, w), dtype=np.int32
+                ).astype(np.uint8)
+            )
+            hmask = jnp.ones(p_pad, jnp.int32)
+
+            def hq(mask, hm):
+                return masked_cross_depth(hm, mask, nibble=True)
+
+            per = time_one(hq, (hmask, hm))
+            print(
+                f"ellcal1 heavy w={w}: {per * 1e6:.2f} us "
+                f"({(p_pad // 2) * w} bytes)",
+                flush=True,
+            )
+
     elif stage == "ellcal":
         # Calibration: fixed + marginal costs of the tier kernel and
         # the heavy nibble pass, fit from multiple sizes. Feeds the
