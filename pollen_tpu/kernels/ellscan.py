@@ -45,25 +45,41 @@ COUNT_BITS = 16
 COUNT_MAX = (1 << COUNT_BITS) - 1
 
 
-# Measured equivalent-streamed-byte weights (probes/RESULTS.txt, bench
-# shape): a tall ELL slot costs ~12 equiv B (4 B DMA + the VPU select
-# chain), a dense nibble heavy column ~1.75 equiv B per path row (the
-# unpack VPU work dominates its 0.5 B/cell DMA). C_HEAVY_PER_BYTE is
-# the same measurement per packed byte (two path rows per byte) — the
-# query-time router (ops/depth.py _masked_impl_costs) charges heavy
-# bytes with it so ingest planning and query routing optimize one
-# objective.
-C_SLOT = 12.0
-C_HEAVY_PER_PATH = 1.75
+# Measured equivalent-streamed-byte weights, fit from the r4 ellcal1
+# probe sweep (probes/RESULTS.txt; standalone kernels at multiple
+# sizes, P=128). Units: equivalent streamed bytes at the 657 GB/s
+# roofline (657 B == 1 ns). The old single C_SLOT=12 / heavy=1.75
+# constants conflated each kernel's ~5-6 us standalone fixed cost into
+# the marginals, which made every small-but-wide tier look too
+# expensive and barred a third tier outright. The fits decompose:
+#
+# * tier kernel: 12.9 ps/slot at k=1, 6.9 ps/slot at k=4 ==
+#   per-SLOT a + per-COLUMN b with a = 3.25, b = 5.25 (the b term is
+#   the two int32 output writes per column, amortized over k slots);
+#   per-slot work scales with the mask-word select chain, so `a` is
+#   parameterized by n_words (calibrated at n_words = 4, extrapolated
+#   linearly in the select count beyond it).
+# * heavy nibble pass: 2.26 ps per packed byte == 0.74 equiv B per
+#   (path, column) cell pair member — C_HEAVY_PER_PATH.
+# * fixed cost: ~4.8-6.4 us per STANDALONE kernel; inside the fused
+#   split grid an extra phase costs ~2 us (C_TIER_FIXED), inferred
+#   from the 14.9 us three-phase total vs 5.5 us of summed marginals.
+C_COL_B = 5.25  # per padded tier column (output writes)
+C_HEAVY_PER_PATH = 0.74
 C_HEAVY_PER_BYTE = 2 * C_HEAVY_PER_PATH
-# Fixed-vs-marginal decomposition (r4 ellcal probe): C_SLOT conflates a
-# per-phase fixed cost with the true per-slot work, which made every
-# small-but-wide tier look too expensive and barred a third tier.
-# C_TIER_FIXED charges each tier phase once (launch + first-block
-# latency); C_SLOT_MARG is the fitted marginal slot cost. Values are
-# equivalent streamed bytes at the 657 GB/s roofline (657 B == 1 ns).
-C_TIER_FIXED = 1.3e6  # ~2.0 us per extra tier phase
-C_SLOT_MARG = 6.0  # ~9 ns per 1024 slots
+C_TIER_FIXED = 1.3e6  # ~2 us per extra fused phase
+
+
+def c_slot_a(n_words: int = 4) -> float:
+    """Marginal per-slot cost: unpack + (n_words-1)-select tournament
+    + shift + two MACs. 3.25 measured at n_words=4."""
+    return 1.2 + 0.7 * max(n_words - 1, 1)
+
+
+# Back-compat alias for the round-3 conflated constant (per-slot cost
+# including a share of fixed overhead); new code uses c_slot_a/C_COL_B.
+C_SLOT = 12.0
+C_SLOT_MARG = c_slot_a(4)  # legacy name used by early r4 code
 
 
 def plan_ell_tiers_n(
@@ -99,6 +115,8 @@ def plan_ell_tiers_n(
     import itertools
 
     n_crossed = int(crossed.sum())
+    n_words = max(-(-p_pad // 32), 1)
+    a = c_slot_a(n_words)
     kset = (1, 2, 4, 8, 16, 32)
     best = None
     for size in range(1, max_tiers + 1):
@@ -122,7 +140,7 @@ def plan_ell_tiers_n(
                 continue
             nh = n_crossed - sum(counts)
             cost = sum(
-                C_TIER_FIXED + C_SLOT_MARG * k * pad(n_t)
+                C_TIER_FIXED + (a * k + C_COL_B) * pad(n_t)
                 for k, n_t in zip(ks, counts)
             )
             if nh:

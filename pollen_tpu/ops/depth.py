@@ -424,29 +424,38 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
     if dg.cross_matrix.size:
         costs["cross"] = dg.cross_matrix.size + 4 * dg.cross_res.size
     if dg.cross_ell.size:
-        # int32 slots: 4 DMA bytes each plus the per-slot VPU work
-        # (fixed unpack/extract ops + the mask-word select tournament,
-        # which scales with the word count). Calibrated against the
-        # measured TPU probe of the tall layout: 9.7 us/query at 2^19
-        # slots with n_words = 4 == ~12 equivalent streamed bytes per
-        # slot (probes/RESULTS.txt, elltall stage).
-        from ..kernels.ellscan import C_HEAVY_PER_BYTE
+        # Calibrated fixed + marginal decomposition, the SAME constants
+        # the ingest tier planner uses (kernels/ellscan.py, r4 ellcal1
+        # fit) so split and routing optimize one objective: per tier,
+        # a per-slot term (select-chain VPU work, scales with the mask
+        # word count) plus a per-column term (output writes) plus a
+        # per-phase fixed cost; the heavy nibble pass per packed byte.
+        from ..kernels.ellscan import (
+            C_COL_B,
+            C_HEAVY_PER_BYTE,
+            C_TIER_FIXED,
+            c_slot_a,
+        )
 
         n_words = -(-max(dg.num_paths, 1) // 32)
-        per_slot = 4 + 2 * n_words
-        costs["ell"] = (
-            per_slot
-            * (
-                dg.cross_ell.size
-                + dg.cross_ell2.size
-                + dg.cross_ell3.size
+        a = c_slot_a(n_words)
+        cost_ell = 0.0
+        for tall, k in (
+            (dg.cross_ell, dg.ell_k),
+            (dg.cross_ell2, dg.ell_k2),
+            (dg.cross_ell3, dg.ell_k3),
+        ):
+            if tall.size and k:
+                cost_ell += (
+                    C_TIER_FIXED + a * tall.size + C_COL_B * tall.size / k
+                )
+        if dg.ell_heavy.size:
+            cost_ell += (
+                C_TIER_FIXED
+                + C_HEAVY_PER_BYTE * dg.ell_heavy.size
+                + 8 * dg.ell_heavy_res.size
             )
-            # Nibble sub-matrix: DMA + unpack, charged at the SAME
-            # measured per-byte cost the ingest tier planner uses
-            # (kernels/ellscan.py) so split and routing agree.
-            + C_HEAVY_PER_BYTE * dg.ell_heavy.size
-            + 8 * dg.ell_heavy_res.size
-        )
+        costs["ell"] = cost_ell
     return costs
 
 

@@ -448,10 +448,17 @@ def test_ell_split_fused_kernel():
     np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
 
 
-def test_ell_tiered_split_end_to_end():
+def test_ell_tiered_split_end_to_end(monkeypatch):
     """A graph with many 1-run segments, a band of mid-popularity
     segments, and never-crossed segments makes the planner build a
-    tier-2 class and an empty class; every query form stays exact."""
+    tier-2 class and an empty class; every query form stays exact.
+    (The calibrated per-column/fixed costs merge tiers at this CPU
+    fixture size, so they are zeroed — the point here is multi-tier
+    EXACTNESS, not the production plan.)"""
+    from pollen_tpu.kernels import ellscan
+
+    monkeypatch.setattr(ellscan, "C_TIER_FIXED", 0.0)
+    monkeypatch.setattr(ellscan, "C_COL_B", 0.0)
     from pollen_tpu.ops.depth import (
         seg_depth_with_uniq_ell,
         seg_depth_with_uniq_ell_parts,
