@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--subset-paths", help="file listing paths to count"
     )
     cmd.add_argument(
+        "-S",
+        "--subset-batch",
+        help="file with one comma-separated path subset per line; all "
+        "subsets are answered in one batched device pass",
+    )
+    cmd.add_argument(
         "-r", "--path", action="append", default=[], help="path-depth rows"
     )
     cmd.add_argument(
@@ -430,6 +436,13 @@ def _run_command(parser, args, g: GraphArrays, out, make_dg) -> None:
                 out.write(
                     run_bed_depth(g, dg, parse_bed_file(args.bed_input))
                 )
+            elif args.subset_batch:
+                subsets = [
+                    [p for p in line.replace(",", " ").split() if p]
+                    for line in _read_lines(args.subset_batch)
+                    if line.strip()
+                ]
+                out.write(depth_op.run_seg_depth_batch(g, dg, subsets))
             elif args.seg_depth:
                 subset = (
                     _read_lines(args.subset_paths)

@@ -781,6 +781,27 @@ def run_seg_depth(
     return seg_depth_table(g, np.asarray(depth), np.asarray(uniq))
 
 
+def run_seg_depth_batch(
+    g: GraphArrays,
+    dg: DeviceGraph,
+    subsets: Sequence[Sequence[str]],
+) -> str:
+    """Many subset-depth queries in one device pass (the serving
+    shape): one TSV table per subset, each preceded by ``##query i``.
+    Routed through the batched tiered-ELL kernel / crossing-matrix
+    matmul by the same cost model as single queries. No reference
+    equivalent (fgfa answers one query per invocation)."""
+    masks = np.stack([path_mask_for(g, s) for s in subsets])
+    depth, uniq = seg_depth_with_uniq_batch(dg, jnp.asarray(masks))
+    depth = np.asarray(depth)
+    uniq = np.asarray(uniq)
+    out = []
+    for i in range(masks.shape[0]):
+        out.append(f"##query\t{i}\n")
+        out.append(seg_depth_table(g, depth[i], uniq[i]))
+    return "".join(out)
+
+
 def run_path_depth(
     g: GraphArrays,
     dg: DeviceGraph,

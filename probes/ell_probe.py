@@ -148,7 +148,7 @@ def main():
             seg_depth_with_uniq_ell_batch_parts,
         )
 
-        for q in (8, 16):
+        for q in (8, 16, 32):
             def bq(masks, dg):
                 d1, u1, d2, u2, dh, uh = (
                     seg_depth_with_uniq_ell_batch_parts(

@@ -69,3 +69,38 @@ def test_serve_survives_bad_requests():
 def test_serve_blocks_reload():
     out = _serve(f"-I {TINY} depth -d\n")
     assert "##end\terror" in out and "re-load" in out
+
+
+def test_depth_subset_batch_cli(tmp_path):
+    """`depth -S file` answers every subset in one batched pass, each
+    table equal to the matching single `-s` query."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graph = os.path.join(repo, "tests", "graphs", "tiny.gfa")
+    batch = tmp_path / "subsets.txt"
+    # Discover path names from the paths listing.
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "pollen_tpu.cli", "-I", graph, *extra],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            env=env,
+            timeout=300,
+        ).stdout
+
+    names = [ln for ln in run("paths").splitlines() if ln]
+    assert len(names) >= 2
+    batch.write_text(f"{names[0]}\n{names[0]},{names[1]}\n")
+    got = run("depth", "-d", "-S", str(batch))
+    singles = []
+    for i, subset in enumerate(([names[0]], [names[0], names[1]])):
+        f = tmp_path / f"s{i}.txt"
+        f.write_text("\n".join(subset) + "\n")
+        singles.append(f"##query\t{i}\n" + run("depth", "-d", "-s", str(f)))
+    assert got == "".join(singles)
