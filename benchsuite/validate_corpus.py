@@ -142,7 +142,6 @@ def main(argv=None) -> None:
     import bench as bench_mod
 
     import jax
-    import jax.numpy as jnp
 
     from pollen_tpu.flatgfa import parse_gfa_file
     from pollen_tpu.ops.depth import _best_masked_impl
