@@ -554,10 +554,44 @@ def masked_ell_splitn_depth(
     three-phase kernel, one Pallas pass whatever the tier count.
     Returns ``(d_i, u_i)`` per tier followed by ``(dh, uh)`` when the
     heavy class is present, each in natural column order."""
+    from .crossmat import fold_mask
+
+    n_words = -(-mask.shape[0] // 32)
+    words = pack_mask_words(mask, n_words)
+    if heavy.size > 0:
+        p_pad = heavy.shape[0] * 2
+        mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
+            mask.astype(jnp.int32)
+        )
+        m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+            fold_mask(mp).astype(jnp.bfloat16)
+        )
+    else:
+        m = jnp.zeros((8, 2), jnp.bfloat16)
+    return masked_ell_splitn_depth_raw(
+        tiers, heavy, words, m, ks=ks, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ks", "interpret")
+)
+def masked_ell_splitn_depth_raw(
+    tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
+    words: jax.Array,  # int32[n_words] pre-packed mask bit words
+    m: jax.Array,  # bf16 (8, P_pad) folded-mask matrix (row 0)
+    ks: Tuple[int, ...],
+    interpret: bool = False,
+):
+    """The fused split query with the mask ALREADY packed: ``words``
+    from :func:`pack_mask_words`, ``m`` the folded bf16 mask matrix.
+    The serving hot path — a client that keeps its masks packed skips
+    every per-query mask-prep op (the packing is host-trivial)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .crossmat import fold_mask, pick_seg_block
+    from .crossmat import pick_seg_block
 
     nt = len(tiers)
     assert nt == len(ks) and nt >= 1
@@ -580,16 +614,10 @@ def masked_ell_splitn_depth(
             "(device.py pads nh_pad to SEG_BLOCK multiples)"
         )
         gh = nh_pad // hw
-        mp = jnp.zeros(p_pad, jnp.int32).at[: mask.shape[0]].set(
-            mask.astype(jnp.int32)
-        )
-        m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
-            fold_mask(mp).astype(jnp.bfloat16)
-        )
+        assert m.shape == (8, p_pad)
     else:
         h_rows, hw, gh = 1, LANES, 0
         heavy = jnp.zeros((8, LANES), jnp.uint8)
-        m = jnp.zeros((8, 2), jnp.bfloat16)
 
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)
@@ -647,8 +675,7 @@ def masked_ell_splitn_depth(
         in_specs.append(h_spec)
         ins.append(heavy)
 
-    n_words = -(-mask.shape[0] // 32)
-    words = pack_mask_words(mask, n_words)
+    n_words = words.shape[0]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(

@@ -201,6 +201,75 @@ def main():
             )
         print("ellb: done", flush=True)
 
+    elif stage == "ellraw":
+        # The fused splitn kernel ALONE, mask words + folded-mask
+        # matrix pre-packed and carried through the chain: isolates the
+        # kernel from the XLA mask-prep/residual glue to decompose the
+        # single query's fixed cost (docs/status.md gap 3).
+        from jax.experimental import pallas as pl  # noqa: F401
+        from pollen_tpu.kernels.ellscan import (
+            masked_ell_splitn_depth_raw,
+        )
+
+        tiers = [dg.cross_ell]
+        ks = [dg.ell_k]
+        if dg.cross_ell2.size:
+            tiers.append(dg.cross_ell2)
+            ks.append(dg.ell_k2)
+        n_words = -(-dg.num_paths // 32)
+        p_pad = dg.ell_heavy.shape[0] * 2
+
+        @jax.jit
+        def chained(words, m, k, t1, t2, heavy):
+            tt = (t1,) if t2 is None else (t1, t2)
+
+            def body(i, carry):
+                words, acc = carry
+                outs = masked_ell_splitn_depth_raw(
+                    tt, heavy, words, m, ks=tuple(ks)
+                )
+                d1, u1 = outs[0], outs[1]
+                dh, uh = outs[-2], outs[-1]
+                acc = acc + d1[-1] + u1[-1] + dh[-1] + uh[-1]
+                words = words.at[0].set(
+                    words[0] ^ (d1[0] % 7)
+                )  # true dependency
+                return words, acc
+
+            _, acc = jax.lax.fori_loop(
+                0, k, body, (words, jnp.int32(0))
+            )
+            return acc
+
+        from pollen_tpu.kernels.ellscan import pack_mask_words
+        from pollen_tpu.kernels.crossmat import fold_mask
+
+        mask = jnp.ones(dg.num_paths, jnp.int32)
+        words = pack_mask_words(mask, n_words)
+        mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(mask)
+        m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+            fold_mask(mp).astype(jnp.bfloat16)
+        )
+        t2 = jnp.asarray(dg.cross_ell2) if dg.cross_ell2.size else None
+        t0 = time.perf_counter()
+        k = 6
+        while True:
+            per_iter, raw = _time_chain_raw(
+                chained,
+                (words, m, jnp.int32(k), dg.cross_ell, t2, dg.ell_heavy),
+                2,
+                k,
+            )
+            if raw >= 0.29 or k >= 65536:
+                break
+            k *= 8
+        print(
+            f"ellraw: {per_iter * 1e6:.1f} us/query "
+            f"({n_steps / per_iter / 1e9:.1f} G steps/s) "
+            f"(total {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+
     elif stage == "ellbok":
         # Batched on-device exactness: parts vs Q single XLA queries.
         from pollen_tpu.ops.depth import (
