@@ -679,6 +679,106 @@ def sharded_ell_depth_fn(
     return query
 
 
+def sharded_ell_depth_batch_fn(
+    mesh: Mesh,
+    has_heavy: bool = False,
+    has_mid: bool = False,
+    has_mid2: bool = False,
+):
+    """Mesh-wide BATCHED masked (depth, uniq) over the tiered split
+    ELL index: ``masks`` is int[Q, P] (replicated); every device
+    reduces its own tier slot columns for all Q queries at once and
+    (when present) turns the heavy nibble columns into one
+    (Q, P) x (P, local_NH) matmul — still zero collectives, outputs
+    segment-sharded per class with a leading Q axis. The multi-chip
+    form of production batch serving (single-chip: the fused
+    masked_ell_splitn_depth_batch kernel)."""
+    from ..kernels.crossmat import fold_mask, unpack_cross
+    from ..kernels.ellscan import COUNT_BITS, COUNT_MAX
+
+    def _tier_b(e, masks):
+        pid = (e >> COUNT_BITS) & 0xFFFF
+        cnt = e & COUNT_MAX
+        m = (
+            jnp.zeros((masks.shape[0], 1 << 16), jnp.int32)
+            .at[:, : masks.shape[1]]
+            .set(masks.astype(jnp.int32))
+        )
+        bit = jnp.take(m, pid, axis=1)  # (Q, K, W)
+        depth = jnp.einsum("qkw,kw->qw", bit, cnt)
+        uniq = jnp.einsum(
+            "qkw,kw->qw", bit, (e != 0).astype(jnp.int32)
+        )
+        return depth, uniq
+
+    @jax.jit
+    def query(*args):
+        def worker(*wargs):
+            masks = wargs[-1]
+            q = masks.shape[0]
+            i = 0
+            outs = list(_tier_b(wargs[i], masks))
+            i += 1
+            if has_mid:
+                outs += list(_tier_b(wargs[i], masks))
+                i += 1
+            if has_mid2:
+                outs += list(_tier_b(wargs[i], masks))
+                i += 1
+            if has_heavy:
+                h, res, res_col = wargs[i : i + 3]
+                idx = jax.lax.axis_index(STEP_AXES)
+                p_pad = h.shape[0] * 2
+                mp = (
+                    jnp.zeros((q, p_pad), jnp.int32)
+                    .at[:, : masks.shape[1]]
+                    .set(masks.astype(jnp.int32))
+                )
+                af = unpack_cross(h).astype(jnp.bfloat16)
+                mf = fold_mask(mp, axis=1).astype(jnp.bfloat16)
+                depth_h = jnp.dot(
+                    mf, af, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+                uniq_h = jnp.dot(
+                    mf,
+                    jnp.minimum(af, jnp.bfloat16(1)),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                if res_col.shape[0]:
+                    fix = jnp.einsum(
+                        "qp,pk->qk",
+                        mp,
+                        res,
+                        preferred_element_type=jnp.int32,
+                    )
+                    w_h = h.shape[1]
+                    local = res_col - idx * w_h
+                    local = jnp.where(
+                        (local >= 0) & (local < w_h), local, w_h
+                    )
+                    depth_h = depth_h.at[:, local].add(fix, mode="drop")
+                outs += [depth_h, uniq_h]
+            return tuple(outs)
+
+        shard = P(None, STEP_AXES)
+        in_specs = (
+            [shard]
+            + ([shard] if has_mid else [])
+            + ([shard] if has_mid2 else [])
+            + ([shard, P(), P()] if has_heavy else [])
+            + [P()]
+        )
+        n_out = 2 + 2 * has_mid + 2 * has_mid2 + 2 * has_heavy
+        return jax.shard_map(
+            worker,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=tuple([P(None, STEP_AXES)] * n_out),
+        )(*args)
+
+    return query
+
+
 def compose_ell_parts_natural(
     dg: DeviceGraph,
     parts,

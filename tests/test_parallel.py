@@ -343,3 +343,43 @@ def test_sharded_residual_wrap_regression(mesh):
     np.testing.assert_array_equal(
         np.asarray(u_c)[:n_segs], np.asarray(u_ref)
     )
+
+
+def test_sharded_ell_batch_matches_single(mesh):
+    """Mesh-wide batched tiered-ELL queries (zero collectives) equal Q
+    single-device masked queries, per class and in natural order."""
+    import bench
+    from pollen_tpu.parallel.sharded import (
+        compose_ell_parts_natural,
+        shard_ell_inputs,
+        sharded_ell_depth_batch_fn,
+    )
+
+    _, dg = bench.synth_device_graph(2**14, 2**10, 48)
+    se = shard_ell_inputs(dg, mesh)
+    assert se is not None and se.heavy is not None
+    rng = np.random.default_rng(53)
+    q = 4
+    masks = rng.integers(0, 2, (q, dg.num_paths)).astype(np.int32)
+    has_mid = se.ell2 is not None
+    has_mid2 = se.ell3 is not None
+    args = [se.ell]
+    if has_mid:
+        args.append(se.ell2)
+    if has_mid2:
+        args.append(se.ell3)
+    args += [se.heavy, se.heavy_res, se.heavy_res_col, jnp.asarray(masks)]
+    parts = sharded_ell_depth_batch_fn(
+        mesh, has_heavy=True, has_mid=has_mid, has_mid2=has_mid2
+    )(*args)
+    for i in range(q):
+        parts_i = [p[i] for p in parts]
+        d_nat, u_nat = compose_ell_parts_natural(
+            dg, parts_i, has_mid=has_mid, has_heavy=True,
+            has_mid2=has_mid2,
+        )
+        d_1, u_1 = depth_op.seg_depth_with_uniq_masked(
+            dg, jnp.asarray(masks[i].astype(bool))
+        )
+        np.testing.assert_array_equal(d_nat, np.asarray(d_1))
+        np.testing.assert_array_equal(u_nat, np.asarray(u_1))
