@@ -148,7 +148,7 @@ def _kernel(mask_ref, a_ref, depth_ref, uniq_ref=None, *, nibble, rotate):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nibble", "interpret", "uniq")
+    jax.jit, static_argnames=("nibble", "interpret", "uniq", "force")
 )
 def masked_cross_depth(
     cross: jax.Array,  # uint8[P_pad/2, N_pad] packed or int8[P_pad, N_pad]
@@ -156,10 +156,12 @@ def masked_cross_depth(
     nibble: bool = False,
     interpret: bool = False,
     uniq: bool = True,
+    force: tuple | None = None,
 ):
     """(depth, uniq) int32[N_pad] — single fused pass over ``cross``.
 
-    With ``uniq=False``, returns depth alone (one dot, no indicator)."""
+    With ``uniq=False``, returns depth alone (one dot, no indicator).
+    ``force=(width, rotate)`` overrides the tile heuristics (probes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -176,6 +178,9 @@ def masked_cross_depth(
     rotate = (n_pad // w2) % 8 == 0
     if rotate:
         width = w2
+    if force is not None:
+        width, rotate = force
+        assert n_pad % width == 0
     assert n_pad % width == 0 and p_pad % 8 == 0
     g = n_pad // width
     if nibble:

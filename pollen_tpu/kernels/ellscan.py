@@ -472,6 +472,7 @@ def _kernel_splitn(
     ks,
     gs,
     has_heavy,
+    h_rotate=True,
 ):
     """N tier phases + an optional heavy phase in one grid. ``refs``
     is (tier_in..., [heavy_in], tier_d/u pairs..., [heavy_d/u])."""
@@ -531,13 +532,17 @@ def _kernel_splitn(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            r = (i - g_tiers) % 8
-            outs[2 * nt][pl.dslice(r, 1), :] = depth[:1, :].astype(
-                jnp.int32
-            )
-            outs[2 * nt + 1][pl.dslice(r, 1), :] = uniq[:1, :].astype(
-                jnp.int32
-            )
+            if h_rotate:
+                r = (i - g_tiers) % 8
+                outs[2 * nt][pl.dslice(r, 1), :] = depth[:1, :].astype(
+                    jnp.int32
+                )
+                outs[2 * nt + 1][pl.dslice(r, 1), :] = uniq[
+                    :1, :
+                ].astype(jnp.int32)
+            else:
+                outs[2 * nt][:] = depth[:1, :].astype(jnp.int32)
+                outs[2 * nt + 1][:] = uniq[:1, :].astype(jnp.int32)
 
 
 @functools.partial(
@@ -606,17 +611,25 @@ def masked_ell_splitn_depth_raw(
     if has_heavy:
         h_rows, nh_pad = heavy.shape
         p_pad = h_rows * 2
-        hw = pick_seg_block(p_pad, nh_pad)
+        hw0 = pick_seg_block(p_pad, nh_pad)
+        hw = hw0
         while hw > LANES and (nh_pad // hw) % 8:
             hw //= 2
-        assert nh_pad % hw == 0 and (nh_pad // hw) % 8 == 0, (
-            "heavy column count must give a step count divisible by 8 "
-            "(device.py pads nh_pad to SEG_BLOCK multiples)"
-        )
+        # Rotated (8, hw) output blocks avoid the 8x sublane write
+        # amplification of (1, hw) stores, but only pay while they do
+        # not force narrower tiles: at the bench heavy block the full
+        # 8192-wide tile with narrow stores measured 8.17 us vs the
+        # 2048-wide rotated form's 8.76 (r4 hrot probe) — fewer grid
+        # steps beat the amplified writes once tiles shrink 2x+.
+        h_rotate = (nh_pad // hw) % 8 == 0 and hw * 2 >= hw0
+        if not h_rotate:
+            hw = hw0
+        assert nh_pad % hw == 0
         gh = nh_pad // hw
         assert m.shape == (8, p_pad)
     else:
         h_rows, hw, gh = 1, LANES, 0
+        h_rotate = True
         heavy = jnp.zeros((8, LANES), jnp.uint8)
 
     def clamp(v, lo, hi):
@@ -648,11 +661,20 @@ def masked_ell_splitn_depth_raw(
         lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
         memory_space=pltpu.VMEM,
     )
-    ho_spec = pl.BlockSpec(
-        (8, hw),
-        lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)) // 8, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if h_rotate:
+        ho_spec = pl.BlockSpec(
+            (8, hw),
+            lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)) // 8, 0),
+            memory_space=pltpu.VMEM,
+        )
+        ho_shape = jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32)
+    else:
+        ho_spec = pl.BlockSpec(
+            (1, hw),
+            lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+            memory_space=pltpu.VMEM,
+        )
+        ho_shape = jax.ShapeDtypeStruct((1, gh * hw), jnp.int32)
 
     out_specs = []
     out_shape = []
@@ -662,8 +684,7 @@ def masked_ell_splitn_depth_raw(
         out_shape += [s, s]
     if has_heavy:
         out_specs += [ho_spec, ho_spec]
-        s = jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32)
-        out_shape += [s, s]
+        out_shape += [ho_shape, ho_shape]
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -684,6 +705,7 @@ def masked_ell_splitn_depth_raw(
                 ks=tuple(ks),
                 gs=gs,
                 has_heavy=has_heavy,
+                h_rotate=h_rotate,
             ),
             grid=(g_tiers + gh,),
             in_specs=in_specs,

@@ -388,7 +388,31 @@ def main():
                 k *= 8
 
         kind, *params = spec.split(":")
-        if kind == "tier":
+        if kind == "hrot":
+            # Heavy pass tile/rotation variants: hrot:W:ROT:FW:FROT
+            # times the REAL bench heavy block with forced tiling.
+            w = int(params[0])
+            fw, frot = int(params[1]), bool(int(params[2]))
+            p_pad = 128
+            hm = jnp.asarray(
+                rng.integers(
+                    0, 256, (p_pad // 2, w), dtype=np.int32
+                ).astype(np.uint8)
+            )
+            hmask = jnp.ones(p_pad, jnp.int32)
+
+            def hq(mask, hm):
+                return masked_cross_depth(
+                    hm, mask, nibble=True, force=(fw, frot)
+                )
+
+            per = time_one(hq, (hmask, hm))
+            print(
+                f"ellcal1 hrot w={w} fw={fw} rot={int(frot)}: "
+                f"{per * 1e6:.2f} us",
+                flush=True,
+            )
+        elif kind == "tier":
             kk, g = int(params[0]), int(params[1])
             rows = g * kk * SUB
             tall = jnp.asarray(
