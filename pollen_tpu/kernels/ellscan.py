@@ -363,7 +363,9 @@ def masked_ell_depth(
 # input block and fully-populated (SUB, TALL_W) output blocks, whose
 # flat reshape is exactly the natural column order.
 
-SUB = 8
+import os as _os
+
+SUB = int(_os.environ.get("POLLEN_ELL_SUB", "8"))
 TALL_W = 4096
 
 
