@@ -171,11 +171,14 @@ def masked_cross_depth(
     # Prefer a (possibly narrower) width whose tile count is a multiple
     # of 8: eight grid steps then share one fully-populated (8, width)
     # output block (see _store) instead of paying 8x sublane write
-    # amplification on (1, width) stores.
+    # amplification on (1, width) stores — but only while the rotation
+    # costs at most one halving of the tile: the r4 hrot sweep measured
+    # the full-width narrow-store form faster once tiles shrink 2x+
+    # (8.17 vs 8.76 us on the bench heavy block).
     w2 = width
     while w2 > LANES and (n_pad // w2) % 8:
         w2 //= 2
-    rotate = (n_pad // w2) % 8 == 0
+    rotate = (n_pad // w2) % 8 == 0 and w2 * 2 >= width
     if rotate:
         width = w2
     if force is not None:
