@@ -913,3 +913,49 @@ def test_ell_batch_kernel_no_mid_no_heavy():
     np.testing.assert_array_equal(
         np.asarray(u1)[:, : c1.shape[1]], mref @ (c1 > 0)
     )
+
+
+def test_ell_split_heavy_rotation_paths():
+    """Both heavy store forms of the fused split kernel: a 65536-col
+    heavy block rotates at full width ((n//hw)%8==0); a 16384-col one
+    takes the full-width narrow-store path (rotation would shrink the
+    tile 4x). Both must be exact."""
+    from pollen_tpu.kernels.crossmat import masked_cross_depth_xla
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        masked_ell_splitn_depth,
+        pack_ell,
+        pack_ell_tall,
+    )
+
+    rng = np.random.default_rng(61)
+    k, nl, p = 1, SUB * TALL_W, 96
+    run_col = np.arange(0, nl, 3)
+    run_path = rng.integers(0, p, run_col.size).astype(np.int32)
+    run_count = rng.integers(1, 9, run_col.size).astype(np.int32)
+    tall = pack_ell_tall(
+        pack_ell(run_path, run_count, run_col,
+                 np.zeros_like(run_col), k, nl)
+    )
+    p_pad = 128
+    mask = rng.integers(0, 2, p).astype(np.int32)
+    mp = np.zeros(p_pad, np.int32)
+    mp[:p] = mask
+    for nh_pad in (65536, 16384):
+        heavy = rng.integers(0, 256, (p_pad // 2, nh_pad)).astype(
+            np.uint8
+        )
+        outs = masked_ell_splitn_depth(
+            (jnp.asarray(tall),),
+            jnp.asarray(heavy),
+            jnp.asarray(mask),
+            ks=(k,),
+            interpret=True,
+        )
+        dh, uh = outs[-2], outs[-1]
+        d_hx, u_hx = masked_cross_depth_xla(
+            jnp.asarray(heavy), jnp.asarray(mp), nibble=True
+        )
+        np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
+        np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
