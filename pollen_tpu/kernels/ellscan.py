@@ -76,10 +76,6 @@ def c_slot_a(n_words: int = 4) -> float:
     return 1.2 + 0.7 * max(n_words - 1, 1)
 
 
-# Back-compat alias for the round-3 conflated constant (per-slot cost
-# including a share of fixed overhead); new code uses c_slot_a/C_COL_B.
-C_SLOT = 12.0
-C_SLOT_MARG = c_slot_a(4)  # legacy name used by early r4 code
 
 
 def plan_ell_tiers_n(
@@ -94,7 +90,7 @@ def plan_ell_tiers_n(
     wastes dense work on mid-popularity segments — a second tier
     measured ~30% off the whole query at bench shape, and a third
     shrinks the heavy class further once the fixed per-phase cost is
-    charged honestly (C_TIER_FIXED vs C_SLOT_MARG). Segments no path
+    charged honestly (C_TIER_FIXED vs the marginals). Segments no path
     crosses are excluded from every class — their depth/uniq are
     identically zero at ingest and buy no device work at all.
 
@@ -118,24 +114,24 @@ def plan_ell_tiers_n(
     n_words = max(-(-p_pad // 32), 1)
     a = c_slot_a(n_words)
     kset = (1, 2, 4, 8, 16, 32)
+    # One O(n) pass per candidate K; the 41-combination search then
+    # works on the 6-entry cumulative counts (ks are ascending, so a
+    # tier's count is a difference of two of them). Masks materialize
+    # only for the winning plan.
+    c_le = {k: int((valid & (runs_per_seg <= k)).sum()) for k in kset}
     best = None
     for size in range(1, max_tiers + 1):
         for ks in itertools.combinations(kset, size):
-            masks = []
-            prev = None
             counts = []
+            prev_le = 0
             ok = True
             for k in ks:
-                t = valid & (runs_per_seg <= k)
-                if prev is not None:
-                    t = t & ~prev
-                n_t = int(t.sum())
+                n_t = c_le[k] - prev_le
                 if n_t == 0:
                     ok = False  # equivalent to a smaller subset
                     break
-                masks.append(t)
                 counts.append(n_t)
-                prev = t if prev is None else (prev | t)
+                prev_le = c_le[k]
             if not ok:
                 continue
             nh = n_crossed - sum(counts)
@@ -146,16 +142,19 @@ def plan_ell_tiers_n(
             if nh:
                 cost += C_TIER_FIXED + C_HEAVY_PER_PATH * p_pad * nh
             if best is None or cost < best[0]:
-                best = (cost, ks, masks)
+                best = (cost, ks)
     if best is None:
         # No crossed segment fits any K: everything heavy (the ingest
         # gate then skips ELL and the dense/scan indexes serve).
         return (), [], crossed.copy()
-    _, ks, masks = best
-    covered = np.zeros_like(crossed)
-    for t in masks:
-        covered |= t
-    return ks, masks, crossed & ~covered
+    _, ks = best
+    masks = []
+    prev = np.zeros_like(valid)
+    for k in ks:
+        t = valid & (runs_per_seg <= k) & ~prev
+        masks.append(t)
+        prev = prev | t
+    return ks, masks, crossed & ~prev
 
 
 def plan_ell_tiers(
@@ -574,7 +573,7 @@ def masked_ell_splitn_depth(
             fold_mask(mp).astype(jnp.bfloat16)
         )
     else:
-        m = jnp.zeros((8, 2), jnp.bfloat16)
+        m = jnp.zeros((8, LANES), jnp.bfloat16)
     return masked_ell_splitn_depth_raw(
         tiers, heavy, words, m, ks=ks, interpret=interpret
     )
@@ -633,6 +632,9 @@ def masked_ell_splitn_depth_raw(
         h_rows, hw, gh = 1, LANES, 0
         h_rotate = True
         heavy = jnp.zeros((8, LANES), jnp.uint8)
+        # Full-lane-width placeholder: Mosaic rejects narrow blocks
+        # (CLAUDE.md gaps); never exercised but must lower cleanly.
+        m = jnp.zeros((8, LANES), jnp.bfloat16)
 
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)
@@ -902,8 +904,9 @@ def masked_ell_splitn_depth_batch(
         m = jax.vmap(fold_mask)(mp).astype(jnp.bfloat16)
     else:
         h_rows, hw, gh, q8 = 1, LANES, 0, 8
-        heavy = jnp.zeros((1, LANES), jnp.uint8)
-        m = jnp.zeros((q8, 2), jnp.bfloat16)
+        heavy = jnp.zeros((8, LANES), jnp.uint8)
+        # Full-lane-width placeholder: Mosaic rejects narrow blocks.
+        m = jnp.zeros((q8, LANES), jnp.bfloat16)
 
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)

@@ -620,9 +620,10 @@ def seg_depth_with_uniq_ell_batch(
 
 def seg_depth_with_uniq_batch(
     dg: DeviceGraph, path_masks: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[np.ndarray, np.ndarray] | Tuple[jax.Array, jax.Array]:
     """Many subset-depth queries at once: ``path_masks`` is bool[Q, P],
-    returns (depth, uniq) of shape [Q, N].
+    returns (depth, uniq) of shape [Q, N] (host numpy on the ELL
+    route, which composes on the host; device arrays otherwise).
 
     Routed like the single query: the tiered split ELL index serves
     batches through its fused batched kernel when it is the cheapest
@@ -634,10 +635,13 @@ def seg_depth_with_uniq_batch(
     """
     if dg.cross_ell.size and _best_masked_impl(dg) == "ell":
         on_tpu = jax.default_backend() not in ("cpu",)
-        d, u = seg_depth_with_uniq_ell_batch(
+        # Host numpy out: the ELL batch composes on the host anyway,
+        # and every consumer reads host-side — re-uploading Q x N
+        # results only to device_get them back would cost minutes
+        # through a degraded transfer link.
+        return seg_depth_with_uniq_ell_batch(
             dg, path_masks, pallas=on_tpu
         )
-        return jnp.asarray(d), jnp.asarray(u)
     return _seg_depth_with_uniq_batch_jit(dg, path_masks)
 
 
@@ -791,6 +795,8 @@ def run_seg_depth_batch(
     Routed through the batched tiered-ELL kernel / crossing-matrix
     matmul by the same cost model as single queries. No reference
     equivalent (fgfa answers one query per invocation)."""
+    if not subsets:
+        return ""
     masks = np.stack([path_mask_for(g, s) for s in subsets])
     depth, uniq = seg_depth_with_uniq_batch(dg, jnp.asarray(masks))
     depth = np.asarray(depth)

@@ -143,12 +143,17 @@ def main():
         )
 
     elif stage == "ellb":
-        # Batched fused split kernel (parts form): µs/query at Q=8/16.
+        # Batched fused split kernel (parts form): µs/query. Pass a Q
+        # as argv[2] to run ONE compile per process (probe discipline:
+        # a death window mid-stage must cost one point, not three).
         from pollen_tpu.ops.depth import (
             seg_depth_with_uniq_ell_batch_parts,
         )
 
-        for q in (8, 16, 32):
+        qs = (
+            [int(sys.argv[2])] if len(sys.argv) > 2 else [8, 16, 32]
+        )
+        for q in qs:
             def bq(masks, dg):
                 d1, u1, d2, u2, dh, uh = (
                     seg_depth_with_uniq_ell_batch_parts(
