@@ -349,3 +349,16 @@ def test_three_tier_sharded_exact(monkeypatch):
     )
     np.testing.assert_array_equal(d_e, np.asarray(d_ref))
     np.testing.assert_array_equal(u_e, np.asarray(u_ref))
+
+
+def test_cost_model_high_path_corner():
+    """P >= 2^16 paths: the int16 slot packing bars the ELL index and
+    the crossing matrix outgrows its budget — only the scan family
+    remains, and the fused kernel must be the pick."""
+    import bench as bench_mod
+
+    _, dg = bench_mod.synth_device_graph(2**16, 2**10, 70000)
+    assert dg.cross_ell.size == 0  # int16 packing bar
+    costs = depth_op._masked_impl_costs(dg)
+    assert "ell" not in costs
+    assert depth_op._best_masked_impl(dg) in ("scan", "runs", "cross")
