@@ -5,14 +5,17 @@ through a 30 MB/s link — never fit its time box and GAVE UP 6 times).
 
 Stages (each: ONE compile, scalar-only readbacks):
   ellk    - bare tier-1 tall kernel (masked_ell_depth_tall)
-  heavyk  - bare heavy nibble pass (rotated crossmat kernel)
-  ell     - full tiered split query, parts form (fused 3-phase kernel)
-  ellok   - on-device correctness: ELL vs XLA pipeline, 1-scalar diff
+  heavyk  - bare heavy nibble pass (crossmat kernel)
+  ell     - full tiered split query, parts form (fused kernel)
+  ellraw  - fused kernel alone, mask pre-packed (no XLA glue)
+  ellb [Q] - batched split query (one Q per process when given)
+  ellok/ellbok - on-device correctness, 1-scalar diff
+  ellcal1 tier:K:G | heavy:W | hrot:W:FW:FROT - calibration points
   crossd  - depth-only crossing matrix (uniq dot + indicator skipped)
   scanb/scanx - fused scan + planned/XLA boundary
   scatter - depth.at[ids].add cost for K2 in {256..32768}
 
-Usage: python probes/ell_probe.py <stage>
+Usage: python probes/ell_probe.py <stage> [arg]
 """
 
 from __future__ import annotations

@@ -2,28 +2,38 @@
 # Resilient probe runner: the TPU tunnel has multi-minute death windows,
 # so each stage runs in its own time-boxed subprocess and retries until
 # it prints a result line. Results append to probes/RESULTS.txt.
+#
+# Hard-won rules encoded here (see CLAUDE.md):
+# * ONE expensive compile per process (ellb takes a Q argument; the
+#   calibration sweep is one point per process).
+# * `timeout -k`: a hung dispatch can ignore SIGTERM; without the KILL
+#   fallback `timeout` waits forever.
+# * stdbuf + line-buffered grep: block buffering otherwise hides every
+#   result line until process exit.
 cd "$(dirname "$0")/.."
 OUT=probes/RESULTS.txt
 run_stage() {
-  local script=$1 variant=$2 needle=$3 budget=${4:-420}
+  local needle=$1 budget=$2; shift 2
   for try in 1 2 3 4 5 6; do
-    echo "[$(date +%H:%M:%S)] $script $variant try $try" >> "$OUT"
-    if timeout "$budget" python -u "$script" "$variant" 2>&1 \
-        | grep -v WARNING | tee -a "$OUT" | grep -q "$needle"; then
+    echo "[$(date +%H:%M:%S)] $* try $try" >> "$OUT"
+    if timeout -k 10 "$budget" stdbuf -oL -eL python -u "$@" 2>&1 \
+        | grep --line-buffered -v WARNING | tee -a "$OUT" \
+        | grep -q "$needle"; then
       return 0
     fi
     sleep 60
   done
-  echo "[$(date +%H:%M:%S)] $script $variant GAVE UP" >> "$OUT"
+  echo "[$(date +%H:%M:%S)] $* GAVE UP" >> "$OUT"
 }
 roofline_stage() {
   # Seed the per-device roofline cache that bench.py's vs_baseline
   # uses (48 h validity); one time-boxed try per loop pass.
   for try in 1 2 3 4 5 6; do
     echo "[$(date +%H:%M:%S)] roofline try $try" >> "$OUT"
-    if timeout 300 python -u -c \
+    if timeout -k 10 300 python -u -c \
         "import bench; bench.roofline_child(2**25, 2, 64)" 2>&1 \
-        | grep -v WARNING | tee -a "$OUT" | grep -q "ROOFLINE [0-9]"; then
+        | grep --line-buffered -v WARNING | tee -a "$OUT" \
+        | grep -q "ROOFLINE [0-9]"; then
       return 0
     fi
     sleep 60
@@ -31,15 +41,20 @@ roofline_stage() {
   echo "[$(date +%H:%M:%S)] roofline GAVE UP" >> "$OUT"
 }
 # Budgets must cover UPLOADS: device_put is lazy and the first kernel
-# call pays the transfer at ~30-90 MB/s (the 16.7 MB crossing matrix
-# alone can take 200-550 s; the scan stages upload ~34 MB).
+# call pays the transfer through the tunnel (the scan stages upload
+# ~34 MB; ELL stages ~3 MB).
 roofline_stage
-run_stage probes/ell_probe.py ellk "ellk:" 600      # tall light kernel
-run_stage probes/ell_probe.py heavyk "heavyk:" 600  # heavy nibble pass
-run_stage probes/ell_probe.py ell "ell:" 900        # full split query
-run_stage probes/ell_probe.py ellok "ellok:" 1500   # on-device exactness
-run_stage probes/ell_probe.py crossd "crossd:" 900  # dense depth-only
-run_stage probes/ell_probe.py scanb "scanb:" 1500   # scan + planned bnd
-run_stage probes/ell_probe.py scanx "scanx:" 1500   # scan + XLA bnd
-run_stage probes/ell_probe.py scatter "scatter: done" 600
+run_stage "ellk:" 600 probes/ell_probe.py ellk        # tall tier kernel
+run_stage "heavyk:" 600 probes/ell_probe.py heavyk    # heavy nibble pass
+run_stage "ell:" 900 probes/ell_probe.py ell          # full split query
+run_stage "ellok:" 1500 probes/ell_probe.py ellok     # on-device exactness
+run_stage "ellraw:" 900 probes/ell_probe.py ellraw    # kernel w/o XLA glue
+run_stage "ellb q=8" 900 probes/ell_probe.py ellb 8   # batched, one Q each
+run_stage "ellb q=16" 900 probes/ell_probe.py ellb 16
+run_stage "ellb q=32" 900 probes/ell_probe.py ellb 32
+run_stage "ellbok:" 1500 probes/ell_probe.py ellbok   # batched exactness
+run_stage "crossd:" 900 probes/ell_probe.py crossd    # dense depth-only
+run_stage "scanb:" 1500 probes/ell_probe.py scanb     # scan + planned bnd
+run_stage "scanx:" 1500 probes/ell_probe.py scanx     # scan + XLA bnd
+run_stage "scatter: done" 600 probes/ell_probe.py scatter
 echo "[$(date +%H:%M:%S)] ALL DONE" >> "$OUT"
