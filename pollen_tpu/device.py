@@ -252,6 +252,7 @@ def build_device_graph(
     device=None,
     minimal: bool = False,
     cross_matrix: str = "auto",
+    ell_objective: str | None = None,
 ) -> DeviceGraph:
     """Ingest an arena: precompute the sort index and ship tensors to HBM.
 
@@ -268,6 +269,12 @@ def build_device_graph(
     free masked depth, kernels/crossmat.py) when it fits the
     POLLEN_CROSS_BUDGET_MB budget (default 256); "always"/"never"
     override.
+
+    ``ell_objective``: "single" (default) plans the tier split for
+    lowest single-query latency; "batch" for lowest per-query cost in
+    batched serving (finer tiers: the batched kernel amortizes each
+    phase's fixed cost over the batch). POLLEN_ELL_OBJECTIVE sets the
+    default.
     """
     n, p, s = g.num_segments, g.num_paths, g.num_steps
 
@@ -417,8 +424,12 @@ def build_device_graph(
         runs_per_seg = np.bincount(run_seg, minlength=n)
         big_seg = np.zeros(n, bool)
         big_seg[run_seg[run_count > COUNT_MAX]] = True
+        if ell_objective is None:
+            ell_objective = os.environ.get(
+                "POLLEN_ELL_OBJECTIVE", "single"
+            )
         ks, tier_masks, heavy_b = plan_ell_tiers_n(
-            runs_per_seg, big_seg, p_pad_m
+            runs_per_seg, big_seg, p_pad_m, objective=ell_objective
         )
         tier_ids = [
             np.flatnonzero(t).astype(np.int32) for t in tier_masks

@@ -83,6 +83,7 @@ def plan_ell_tiers_n(
     big_seg: np.ndarray,
     p_pad: int,
     max_tiers: int = 3,
+    objective: str = "single",
 ):
     """Up-to-``max_tiers``-way sliced-ELL split: tier t's columns get
     K_t slots (K_1 < K_2 < ...); the rest of the crossed segments go
@@ -94,12 +95,25 @@ def plan_ell_tiers_n(
     crosses are excluded from every class — their depth/uniq are
     identically zero at ingest and buy no device work at all.
 
+    ``objective``: "single" charges each phase its full fixed cost
+    (the Q=1 query pays every launch); "batch" amortizes it over a
+    nominal batch (the batched kernel reads each slot block once per
+    batch, so per-QUERY cost is slot-dominated and finer tiers with
+    fewer wasted slots win — measured 5.57 vs 6.46 us/query at Q=16
+    for the 1+4-tier vs single-k4 plans at bench shape).
+
     Returns ``(ks, tiers, heavy_mask)``: ``ks`` a tuple of slot counts
     (possibly length < max_tiers), ``tiers`` the matching list of
     bool masks, ``heavy_mask`` the dense remainder. ``ks`` is empty
     only when no crossed segment fits any K (all heavy)."""
     crossed = runs_per_seg > 0
     valid = ~big_seg & crossed
+    if objective == "batch":
+        # The batched kernel unrolls every phase per query; a three-
+        # tier batch program at Q=16 produced ~120 KB of MLIR and
+        # crashed the TPU compile helper outright (r4 probe). Two
+        # tiers + heavy is the measured batch winner and compiles.
+        max_tiers = min(max_tiers, 2)
     # Tiers are charged at their RESIDENT (tall-padded) column counts:
     # pack_ell_tall pads to SUB*TALL_W-column tiles, so a small tier
     # with a large K is far costlier than its raw count suggests.
@@ -113,6 +127,17 @@ def plan_ell_tiers_n(
     n_crossed = int(crossed.sum())
     n_words = max(-(-p_pad // 32), 1)
     a = c_slot_a(n_words)
+    # Batch objective: the batched kernel amortizes per-phase fixed
+    # cost AND the heavy unpack/matmul over the whole batch (nominal
+    # Q=16); what stays per-query is the select work per slot and the
+    # output writes per column (~8 B). Heavy columns therefore cost
+    # ~8 equiv B per query instead of C_HEAVY_PER_PATH * p_pad.
+    if objective == "single":
+        tier_fixed = C_TIER_FIXED
+        heavy_per_col = C_HEAVY_PER_PATH * p_pad
+    else:
+        tier_fixed = C_TIER_FIXED / 16
+        heavy_per_col = C_HEAVY_PER_PATH * p_pad / 16 + 8
     kset = (1, 2, 4, 8, 16, 32)
     # One O(n) pass per candidate K; the 41-combination search then
     # works on the 6-entry cumulative counts (ks are ascending, so a
@@ -136,11 +161,11 @@ def plan_ell_tiers_n(
                 continue
             nh = n_crossed - sum(counts)
             cost = sum(
-                C_TIER_FIXED + (a * k + C_COL_B) * pad(n_t)
+                tier_fixed + (a * k + C_COL_B) * pad(n_t)
                 for k, n_t in zip(ks, counts)
             )
             if nh:
-                cost += C_TIER_FIXED + C_HEAVY_PER_PATH * p_pad * nh
+                cost += tier_fixed + heavy_per_col * nh
             if best is None or cost < best[0]:
                 best = (cost, ks)
     if best is None:

@@ -362,3 +362,33 @@ def test_cost_model_high_path_corner():
     costs = depth_op._masked_impl_costs(dg)
     assert "ell" not in costs
     assert depth_op._best_masked_impl(dg) in ("scan", "runs", "cross")
+
+
+def test_batch_objective_plan_exact():
+    """ell_objective='batch' (amortized per-phase fixed cost) produces
+    a finer tier split that stays exact through every query form."""
+    import jax.numpy as jnp
+
+    import bench
+    from pollen_tpu.device import build_device_graph
+    from pollen_tpu.flatgfa import parse_gfa
+
+    g, _ = bench.synth_device_graph(2**14, 2**10, 48, device="host")
+    # Rebuild the arena-level graph through the public builder.
+    dg_b = build_device_graph(g, ell_objective="batch")
+    dg_s = build_device_graph(g, ell_objective="single")
+    assert dg_b.cross_ell.size
+    rng = np.random.default_rng(71)
+    mask = jnp.asarray(rng.integers(0, 2, dg_b.num_paths).astype(bool))
+    d_ref, u_ref = depth_op.seg_depth_with_uniq_masked(dg_s, mask)
+    d_b, u_b = depth_op.seg_depth_with_uniq_ell(dg_b, mask)
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(u_b), np.asarray(u_ref))
+    masks = jnp.asarray(
+        rng.integers(0, 2, (3, dg_b.num_paths)).astype(bool)
+    )
+    d_q, u_q = depth_op.seg_depth_with_uniq_ell_batch(dg_b, masks)
+    for q in range(3):
+        d1, u1 = depth_op.seg_depth_with_uniq_masked(dg_s, masks[q])
+        np.testing.assert_array_equal(d_q[q], np.asarray(d1))
+        np.testing.assert_array_equal(u_q[q], np.asarray(u1))
