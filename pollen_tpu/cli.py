@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="write a transform's result back into the -i binary in place",
     )
+    parser.add_argument(
+        "--ell-objective",
+        choices=["single", "batch"],
+        default=None,
+        help="plan the resident depth index for single-query latency "
+        "(default) or batched-serving throughput (also: "
+        "POLLEN_ELL_OBJECTIVE)",
+    )
     sub = parser.add_subparsers(dest="command", metavar="COMMAND")
 
     sub.add_parser("paths", help="list the paths")
@@ -289,7 +297,9 @@ def _main(argv: Optional[List[str]] = None) -> None:
         if not dg_cache:
             from .device import build_device_graph
 
-            dg_cache.append(build_device_graph(g))
+            dg_cache.append(
+                build_device_graph(g, ell_objective=args.ell_objective)
+            )
         return dg_cache[0]
 
     _run_command(parser, args, g, sys.stdout, make_dg)
@@ -315,7 +325,9 @@ def _serve(parser: argparse.ArgumentParser, args, g: GraphArrays) -> None:
         if not dg_cache:
             from .device import build_device_graph
 
-            dg_cache.append(build_device_graph(g))
+            dg_cache.append(
+                build_device_graph(g, ell_objective=args.ell_objective)
+            )
         return dg_cache[0]
 
     out = sys.stdout

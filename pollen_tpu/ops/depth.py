@@ -576,6 +576,13 @@ def seg_depth_with_uniq_ell_batch_parts(
     return d1, u1, d2, u2, dh, uh
 
 
+# Largest batch per fused kernel invocation: tier output blocks are
+# (Q*SUB, TALL_W) int32 per class — past ~32 queries they outgrow the
+# VMEM budget, so bigger batches chunk (throughput is already flat at
+# this size: the per-batch fixed cost is amortized ~32x).
+ELL_BATCH_CHUNK = 32
+
+
 def seg_depth_with_uniq_ell_batch(
     dg: DeviceGraph, path_masks: jax.Array, pallas: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -585,10 +592,21 @@ def seg_depth_with_uniq_ell_batch(
     bench shape, dwarfing the kernel; production serving consumes the
     permuted device parts directly, exactly as the single-query path
     does)."""
+    q = path_masks.shape[0]
+    if q > ELL_BATCH_CHUNK:
+        halves = [
+            seg_depth_with_uniq_ell_batch(
+                dg, path_masks[i : i + ELL_BATCH_CHUNK], pallas=pallas
+            )
+            for i in range(0, q, ELL_BATCH_CHUNK)
+        ]
+        return (
+            np.concatenate([h[0] for h in halves]),
+            np.concatenate([h[1] for h in halves]),
+        )
     d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_batch_parts(
         dg, path_masks, pallas=pallas
     )
-    q = path_masks.shape[0]
     n = dg.num_segments
     nl, nh = dg.ell_num_light, dg.ell_num_heavy
     nm = dg.ell_num_mid + dg.ell_num_mid2  # mid part folds tiers 2+3

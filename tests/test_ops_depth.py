@@ -392,3 +392,23 @@ def test_batch_objective_plan_exact():
         d1, u1 = depth_op.seg_depth_with_uniq_masked(dg_s, masks[q])
         np.testing.assert_array_equal(d_q[q], np.asarray(d1))
         np.testing.assert_array_equal(u_q[q], np.asarray(u1))
+
+
+def test_ell_batch_chunking():
+    """Batches past ELL_BATCH_CHUNK split into VMEM-sized kernel calls
+    with identical results."""
+    import jax.numpy as jnp
+
+    import bench
+    from pollen_tpu.ops import depth as d
+
+    _, dg = bench.synth_device_graph(2**13, 2**9, 32)
+    rng = np.random.default_rng(77)
+    q = d.ELL_BATCH_CHUNK + 5
+    masks = jnp.asarray(rng.integers(0, 2, (q, dg.num_paths)).astype(bool))
+    db, ub = d.seg_depth_with_uniq_ell_batch(dg, masks)
+    assert db.shape == (q, dg.num_segments)
+    for i in (0, d.ELL_BATCH_CHUNK - 1, d.ELL_BATCH_CHUNK, q - 1):
+        d1, u1 = d.seg_depth_with_uniq_masked(dg, masks[i])
+        np.testing.assert_array_equal(db[i], np.asarray(d1))
+        np.testing.assert_array_equal(ub[i], np.asarray(u1))
