@@ -70,3 +70,33 @@ def test_packedseq_garbage():
             PackedSeq.from_file_bytes(blob)
         except PackedSeqError:
             pass
+
+
+def test_fuzz_batched_ell_vs_single():
+    """Random Zipf graphs x random mask batches: the batched tiered-ELL
+    path (both objectives) always equals per-query answers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from pollen_tpu.ops import depth as depth_op
+
+    rng = np.random.default_rng(97)
+    for trial in range(4):
+        s = int(rng.choice([2**12, 2**13, 2**14]))
+        n = int(rng.choice([2**8, 2**9, 2**10]))
+        p = int(rng.choice([8, 33, 100]))
+        obj = ["single", "batch"][trial % 2]
+        g, _ = bench.synth_device_graph(s, n, p, device="host")
+        from pollen_tpu.device import build_device_graph
+
+        dg = build_device_graph(g, ell_objective=obj)
+        if not dg.cross_ell.size:
+            continue
+        q = int(rng.integers(1, 7))
+        masks = jnp.asarray(rng.integers(0, 2, (q, p)).astype(bool))
+        d_b, u_b = depth_op.seg_depth_with_uniq_ell_batch(dg, masks)
+        for i in range(q):
+            d1, u1 = depth_op.seg_depth_with_uniq_masked(dg, masks[i])
+            np.testing.assert_array_equal(d_b[i], np.asarray(d1))
+            np.testing.assert_array_equal(u_b[i], np.asarray(u1))
