@@ -90,3 +90,29 @@ def test_sizes_probe():
     r = _run([sys.executable, "-m", "benchsuite.sizes", "gen"])
     assert r.returncode == 0, r.stderr
     assert "gen tiny" in r.stdout
+
+
+def test_batch_depth_example():
+    """The batched serving example: each subset's table equals the
+    engine's single-query answer."""
+    r = _run([sys.executable, str(EXAMPLES / "batch_depth.py")])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("# subset") == 3
+    single = _run(
+        [
+            sys.executable,
+            "-m",
+            "pollen_tpu.cli",
+            "-I",
+            str(EXAMPLES / "example.gfa"),
+            "depth",
+            "-d",
+        ]
+    )
+    assert single.returncode == 0, single.stderr
+    # Subset 1 is all paths: its block must equal the plain query.
+    blocks = r.stdout.split("# subset ")
+    all_paths_block = "\n".join(blocks[2].splitlines()[2:]) + "\n"
+    assert all_paths_block == single.stdout.split(
+        "#node.id\tdepth\tdepth.uniq\n"
+    )[1] or all_paths_block in single.stdout
