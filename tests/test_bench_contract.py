@@ -7,6 +7,48 @@ import subprocess
 import sys
 
 
+def _run_bench(extra_env, timeout):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, proc.stdout
+    return json.loads(json_lines[0]), proc
+
+
+def test_bench_survives_first_dispatch_hang():
+    """Fault injection for the r4 failure mode: the first measurement
+    child wedges before its first backend dispatch (a tunnel death
+    window). The orchestrator must kill it, retry, and still print a
+    NONZERO measured line within the deadline."""
+    rec, proc = _run_bench(
+        {
+            "POLLEN_BENCH_PLATFORM": "cpu",
+            "POLLEN_BENCH_STEPS": str(2**14),
+            "POLLEN_BENCH_SEGS": str(2**10),
+            "POLLEN_BENCH_PATHS": "16",
+            "POLLEN_BENCH_DEADLINE": "210",
+            "POLLEN_BENCH_TRIES": "2",
+            "POLLEN_BENCH_TEST_STALL": "1",  # attempt 1 hangs forever
+            "POLLEN_BENCH_ROOFLINE_BUDGET": "1",
+        },
+        timeout=280,
+    )
+    assert "timed out (attempt 1" in proc.stderr, proc.stderr[-2000:]
+    assert rec["value"] > 0, proc.stderr[-2000:]
+
+
 def test_bench_emits_one_json_line():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)

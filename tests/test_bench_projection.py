@@ -78,6 +78,34 @@ def test_projection_preserves_answers(graphs, impl):
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_ref))
 
 
+def test_ingest_cache_roundtrip(tmp_path, monkeypatch):
+    """The disk ingest cache (bench retries skip synth + planning) must
+    reproduce the projected host graph exactly — arrays, meta ints, and
+    tuple statics."""
+    import dataclasses
+
+    import bench
+
+    monkeypatch.setattr(bench, "_ingest_cache_dir", lambda: str(tmp_path))
+    shape = (2**12, 2**8, 8)
+    _, dg_full = synth_device_graph(*shape, device="host")
+    host = bench.project_host(dg_full, "ell")
+    bench.ingest_cache_store(host, "ell", shape)
+    got = bench.ingest_cache_load(*shape)
+    assert got is not None
+    impl, dg2 = got
+    assert impl == "ell"
+    for f in dataclasses.fields(host):
+        a, b = getattr(host, f.name), getattr(dg2, f.name)
+        if hasattr(a, "ndim"):
+            assert a.dtype == b.dtype, f.name
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            assert a == b, f.name
+    # A different shape must miss.
+    assert bench.ingest_cache_load(2**12, 2**8, 16) is None
+
+
 def test_measured_call_overhead_sane():
     import bench
 
