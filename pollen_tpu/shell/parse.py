@@ -1,8 +1,10 @@
 """Shell front end: POSIX-ish command lines -> dataflow IR.
 
 Reference semantics: flatgfa-sh/src/parse.rs. Quoting/escaping is
-handled by :mod:`shlex`; pipelines wire fresh pipe resources between
-stages; ``<``/``>`` redirections rebind a stage's endpoints. Recognized
+handled by a quote-aware lexer that keeps quoted operator characters
+literal (``grep "|" f`` greps for a pipe character); pipelines wire
+fresh pipe resources between stages; ``<``/``>`` redirections rebind a
+stage's endpoints. Recognized
 commands (``odgi depth``, ``bedtools makewindows``, ``gunzip``) lower to
 in-process ops; anything else becomes an ``exec`` passthrough.
 
@@ -17,7 +19,6 @@ rejections, just as parse errors instead of panics.
 
 from __future__ import annotations
 
-import shlex
 from typing import List, Optional, Tuple
 
 from . import ir
@@ -28,16 +29,100 @@ class ShellParseError(ValueError):
     pass
 
 
+class _Tok(str):
+    """A lexed word. ``op`` is True only for UNQUOTED control tokens
+    (``| ; < > & && || >> <<``): a quoted ``"|"`` must stay a literal
+    argument word, exactly as the reference's shell parser keeps it
+    (flatgfa-sh/src/parse.rs:238-251 turns quoted words into plain
+    strings before the translator ever sees operators)."""
+
+    op: bool = False
+
+    def __new__(cls, s: str, op: bool = False) -> "_Tok":
+        t = str.__new__(cls, s)
+        t.op = op
+        return t
+
+
+def _is_op(tok: str, *vals: str) -> bool:
+    return getattr(tok, "op", False) and str(tok) in vals
+
+
+# Longest-match-first so "&&" never lexes as two "&".
+_OPERATORS = ("&&", "||", ">>", "<<", "|", ";", "<", ">", "&")
+_OP_CHARS = "|;<>&"
+
+
+def _read_word(line: str, i: int) -> Tuple[str, int]:
+    """Read one (possibly quoted) word starting at ``i``; returns the
+    unquoted text and the index past it. Quote handling follows POSIX
+    shell: single quotes are fully literal, double quotes allow
+    backslash-escapes of ``\\ " $ ```, bare backslash escapes the
+    next character."""
+    out: List[str] = []
+    n = len(line)
+    while i < n and line[i] not in " \t" and line[i] not in _OP_CHARS:
+        c = line[i]
+        if c == "'":
+            j = line.find("'", i + 1)
+            if j < 0:
+                raise ShellParseError("no closing quotation")
+            out.append(line[i + 1 : j])
+            i = j + 1
+        elif c == '"':
+            i += 1
+            while i < n and line[i] != '"':
+                if line[i] == "\\" and i + 1 < n and line[i + 1] in '\\"$`':
+                    out.append(line[i + 1])
+                    i += 2
+                else:
+                    out.append(line[i])
+                    i += 1
+            if i >= n:
+                raise ShellParseError("no closing quotation")
+            i += 1
+        elif c == "\\":
+            if i + 1 < n:
+                out.append(line[i + 1])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), i
+
+
+def _lex_line(line: str) -> List[_Tok]:
+    toks: List[_Tok] = []
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c in " \t":
+            i += 1
+            continue
+        if c == "#":
+            break  # comment to end of line
+        if c in _OP_CHARS:
+            for op in _OPERATORS:
+                if line.startswith(op, i):
+                    toks.append(_Tok(op, op=True))
+                    i += len(op)
+                    break
+            continue
+        word, i = _read_word(line, i)
+        toks.append(_Tok(word))
+    return toks
+
+
 def _split_statements(tokens: List[str]) -> List[List[str]]:
     out: List[List[str]] = [[]]
     for tok in tokens:
-        if tok in ("&&", "||"):
+        if _is_op(tok, "&&", "||"):
             # Match the reference's explicit rejection
             # (parse.rs:205 "&& and || not supported").
             raise ShellParseError(f"{tok} is not supported")
-        if tok == "&":
+        if _is_op(tok, "&"):
             raise ShellParseError("async commands are not supported")
-        if tok in (";", "\n"):
+        if _is_op(tok, ";"):
             if out[-1]:
                 out.append([])
         else:
@@ -48,7 +133,7 @@ def _split_statements(tokens: List[str]) -> List[List[str]]:
 def _split_pipeline(tokens: List[str]) -> List[List[str]]:
     stages: List[List[str]] = [[]]
     for tok in tokens:
-        if tok == "|":
+        if _is_op(tok, "|"):
             stages.append([])
         else:
             stages[-1].append(tok)
@@ -64,21 +149,21 @@ def _pop_redirects(
     i = 0
     while i < len(tokens):
         tok = tokens[i]
-        if tok in ("<", ">"):
-            if i + 1 >= len(tokens):
-                raise ShellParseError(f"missing target for {tok!r}")
+        if _is_op(tok, "<", ">"):
+            # The lexer splits an attached `>file` into the operator
+            # and its word, so the two-token form is the only one.
+            if i + 1 >= len(tokens) or getattr(tokens[i + 1], "op", False):
+                raise ShellParseError(f"missing target for {str(tok)!r}")
             target = prog.file(tokens[i + 1])
             if tok == "<":
                 src = target
             else:
                 dst = target
             i += 2
-        elif tok.startswith(">") and len(tok) > 1:
-            dst = prog.file(tok[1:])
-            i += 1
-        elif tok.startswith("<") and len(tok) > 1:
-            src = prog.file(tok[1:])
-            i += 1
+        elif _is_op(tok, ">>", "<<"):
+            raise ShellParseError(
+                f"{str(tok)!r} redirection is not supported"
+            )
         else:
             args.append(tok)
             i += 1
@@ -164,15 +249,12 @@ def _translate_command(
 
 def shell_to_ir(text: str) -> Program:
     """Parse shell text into an IR program."""
-    # Lex line by line: shlex's whitespace_split treats newlines as
-    # plain whitespace, which would fuse a script's statements into
-    # one. A ";" after each line keeps the statement boundaries.
-    tokens: List[str] = []
+    # Lex line by line; an operator ";" after each line keeps the
+    # statement boundaries.
+    tokens: List[_Tok] = []
     for line in text.splitlines():
-        lex = shlex.shlex(line, posix=True, punctuation_chars="|;<>&")
-        lex.whitespace_split = True
-        tokens.extend(lex)
-        tokens.append(";")
+        tokens.extend(_lex_line(line))
+        tokens.append(_Tok(";", op=True))
     prog = Program()
     for statement in _split_statements(tokens):
         stages = _split_pipeline(statement)

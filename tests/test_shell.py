@@ -49,6 +49,43 @@ def test_unsupported_operators_rejected():
             shell_to_ir(text)
 
 
+def test_quoted_operators_stay_literal():
+    """A quoted "|" (or ">x", "&&") is an argument word, not an
+    operator — the reference's shell parser resolves quoting before
+    the translator sees operators (flatgfa-sh/src/parse.rs:238-251).
+    Regression test for the shlex-based lexer that erased the
+    distinction."""
+    prog = shell_to_ir('grep "|" f')
+    out = prog.render()
+    assert "pipe" not in out
+    (instr,) = prog.instrs
+    assert instr.args["command"] == "grep"
+    assert instr.args["args"] == ("|", "f")
+
+    prog = shell_to_ir('echo ">x" \'&&\' "a b"')
+    (instr,) = prog.instrs
+    assert instr.args["args"] == (">x", "&&", "a b")
+
+
+def test_real_redirect_still_splits(tmp_path):
+    """Unquoted attached redirections (`>out`) still lex as operator +
+    word, and quote escapes behave POSIXly."""
+    out = tmp_path / "o.txt"
+    prog = shell_to_ir(f"echo hi >{out}")
+    (instr,) = prog.instrs
+    assert instr.args["args"] == ("hi",)
+
+    from pollen_tpu.shell.parse import ShellParseError
+
+    with pytest.raises(ShellParseError):
+        shell_to_ir('echo "unterminated')
+    with pytest.raises(ShellParseError):
+        shell_to_ir("cat <<EOF")
+    # Backslash escape keeps an operator literal too.
+    (instr,) = shell_to_ir("echo \\|").instrs
+    assert instr.args["args"] == ("|",)
+
+
 def test_ir_pipeline_and_exec():
     out = render(f"odgi depth -i {TINY} -d | tail -n 2")
     assert "node-depth(gfa-0) -> pipe-0" in out
