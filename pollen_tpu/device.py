@@ -108,6 +108,7 @@ from .flatgfa import GraphArrays
         "ell_k",
         "ell_k2",
         "ell_k3",
+        "ell_sub",
         "bnd_w_rows",
         "bnd_over_tiles",
         "bnd2_w_rows",
@@ -206,6 +207,12 @@ class DeviceGraph:
     ell_k: int = 0
     ell_k2: int = 0
     ell_k3: int = 0
+    # Sublane fold factor the tall tiers were packed with (static;
+    # kernels/ellscan.py SUB, settable via POLLEN_ELL_SUB). Queries
+    # assert it against the live module constant: a graph packed under
+    # one SUB and queried under another would silently produce wrong
+    # layouts. 0 = no ELL index.
+    ell_sub: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
@@ -408,6 +415,7 @@ def build_device_graph(
     ell_nm2 = 0  # tier-3 count
     ell_nh = 0  # heavy count
     k_ell = k_ell2 = k_ell3 = 0
+    ell_sub_v = 0
     if (
         s > 0
         and 0 < p < (1 << 16)
@@ -498,6 +506,7 @@ def build_device_graph(
 
             ell = pack_tier(tier_masks[0], ks[0], tier_counts[0])
             k_ell = ks[0]
+            ell_sub_v = SUB
             if len(ks) > 1:
                 ell2 = pack_tier(tier_masks[1], ks[1], tier_counts[1])
                 k_ell2 = ks[1]
@@ -702,6 +711,7 @@ def build_device_graph(
         ell_k=k_ell,
         ell_k2=k_ell2,
         ell_k3=k_ell3,
+        ell_sub=ell_sub_v,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
         bnd2_w_rows=bnd2_w_rows,

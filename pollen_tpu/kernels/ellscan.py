@@ -68,12 +68,18 @@ C_COL_B = 5.25  # per padded tier column (output writes)
 C_HEAVY_PER_PATH = 0.74
 C_HEAVY_PER_BYTE = 2 * C_HEAVY_PER_PATH
 C_TIER_FIXED = 1.3e6  # ~2 us per extra fused phase
+# Nominal batch the "batch" planning objective amortizes fixed costs
+# over. This IS the serving batch size: ops/depth.py chunks batches at
+# this Q (its ELL_BATCH_CHUNK aliases this constant) and the CLI
+# serves at it, so the amortization constant and the real batch agree.
+ELL_BATCH_Q = 32
 
 
 def c_slot_a(n_words: int = 4) -> float:
     """Marginal per-slot cost: unpack + (n_words-1)-select tournament
-    + shift + two MACs. 3.25 measured at n_words=4."""
-    return 1.2 + 0.7 * max(n_words - 1, 1)
+    + shift + two MACs. The intercept reproduces the ellcal1 fit
+    exactly at the calibration point (a = 3.25 at n_words = 4)."""
+    return 1.15 + 0.7 * max(n_words - 1, 1)
 
 
 
@@ -128,16 +134,17 @@ def plan_ell_tiers_n(
     n_words = max(-(-p_pad // 32), 1)
     a = c_slot_a(n_words)
     # Batch objective: the batched kernel amortizes per-phase fixed
-    # cost AND the heavy unpack/matmul over the whole batch (nominal
-    # Q=16); what stays per-query is the select work per slot and the
-    # output writes per column (~8 B). Heavy columns therefore cost
-    # ~8 equiv B per query instead of C_HEAVY_PER_PATH * p_pad.
+    # cost AND the heavy unpack/matmul over the whole batch (the
+    # serving batch, ELL_BATCH_Q); what stays per-query is the select
+    # work per slot and the output writes per column (~8 B). Heavy
+    # columns therefore cost ~8 equiv B per query instead of
+    # C_HEAVY_PER_PATH * p_pad.
     if objective == "single":
         tier_fixed = C_TIER_FIXED
         heavy_per_col = C_HEAVY_PER_PATH * p_pad
     else:
-        tier_fixed = C_TIER_FIXED / 16
-        heavy_per_col = C_HEAVY_PER_PATH * p_pad / 16 + 8
+        tier_fixed = C_TIER_FIXED / ELL_BATCH_Q
+        heavy_per_col = C_HEAVY_PER_PATH * p_pad / ELL_BATCH_Q + 8
     kset = (1, 2, 4, 8, 16, 32)
     # One O(n) pass per candidate K; the 41-combination search then
     # works on the 6-entry cumulative counts (ks are ascending, so a
@@ -1015,6 +1022,51 @@ def masked_ell_splitn_depth_batch(
         result.append(
             uh.reshape(gh, q8, hw)[:, :q].transpose(1, 0, 2).reshape(q, -1)
         )
+    else:
+        result += [None, None]
+    return tuple(result)
+
+
+@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+def masked_ell_splitn_depth_batch_split(
+    tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
+    heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
+    masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
+    ks,
+    interpret: bool = False,
+):
+    """The batched split query emitted as PER-TIER ``pallas_call``s
+    plus one batched heavy pass, instead of one fused program.
+
+    Why it exists: the fully-fused N-tier batch program allocates
+    (Q*SUB, TALL_W) int32 output blocks per tier *simultaneously* — at
+    Q=16 a three-tier program hit Mosaic's 16 MB scoped-VMEM ceiling
+    (17.14 MB) and its ~120 KB of MLIR crashed the remote compile
+    helper outright (r4 probes). Splitting keeps every program at the
+    proven one-tier size. The cost is nt extra kernel launches
+    (~5-6 us fixed each), which the batch amortizes Q-fold —
+    ~0.2 us/query at Q=32 — where the single-query fused form saves
+    real microseconds. Same return convention as
+    :func:`masked_ell_splitn_depth_batch`."""
+    from .crossmat import batched_cross_depth_pallas
+
+    empty_heavy = jnp.zeros((0, 0), jnp.uint8)
+    result = []
+    for t, k in zip(tiers, ks):
+        d, u, _, _ = masked_ell_splitn_depth_batch(
+            (t,), empty_heavy, masks, ks=(k,), interpret=interpret
+        )
+        result += [d, u]
+    if heavy.size > 0:
+        q, p = masks.shape
+        p_pad = heavy.shape[0] * 2
+        mp = jnp.zeros((q, p_pad), jnp.int32).at[:, :p].set(
+            masks.astype(jnp.int32)
+        )
+        dh, uh = batched_cross_depth_pallas(
+            heavy, mp, nibble=True, interpret=interpret
+        )
+        result += [dh, uh]
     else:
         result += [None, None]
     return tuple(result)

@@ -21,6 +21,7 @@ from ..device import (
     first_in_group_mask,
 )
 from ..flatgfa import GraphArrays
+from ..kernels import ellscan as _ellscan
 
 
 @jax.jit
@@ -201,6 +202,22 @@ def seg_depth_with_uniq_cross(
     return depth[: dg.num_segments], uniq[: dg.num_segments]
 
 
+def _check_ell_sub(dg: DeviceGraph) -> None:
+    """A DeviceGraph's tall tiers are laid out for the SUB they were
+    packed with; querying under a different POLLEN_ELL_SUB would read
+    silently-wrong layouts. The packed value is a static meta field —
+    refuse the mismatch outright (runs at trace time: ell_sub is
+    static)."""
+    from ..kernels.ellscan import SUB
+
+    if dg.ell_sub and dg.ell_sub != SUB:
+        raise ValueError(
+            f"DeviceGraph ELL index was packed with SUB={dg.ell_sub} "
+            f"but this process runs with SUB={SUB} (POLLEN_ELL_SUB); "
+            "re-ingest the graph or match the env var"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("pallas",))
 def seg_depth_with_uniq_ell_parts(
     dg: DeviceGraph, path_mask: jax.Array, pallas: bool = False
@@ -231,6 +248,7 @@ def seg_depth_with_uniq_ell_parts(
         unfold_ell_tall,
     )
 
+    _check_ell_sub(dg)
     m = path_mask.astype(jnp.int32)[: dg.num_paths]
     has_mid = dg.cross_ell2.size > 0
     has_mid2 = dg.cross_ell3.size > 0
@@ -489,6 +507,7 @@ def seg_depth_with_uniq_ell_batch_parts(
         unfold_ell_tall,
     )
 
+    _check_ell_sub(dg)
     q = path_masks.shape[0]
     m = path_masks.astype(jnp.int32)[:, : dg.num_paths]
     has_mid = dg.cross_ell2.size > 0
@@ -505,6 +524,8 @@ def seg_depth_with_uniq_ell_batch_parts(
         )
 
     if pallas:
+        from ..kernels.ellscan import masked_ell_splitn_depth_batch_split
+
         tiers = [dg.cross_ell]
         ks = [dg.ell_k]
         if has_mid:
@@ -513,9 +534,18 @@ def seg_depth_with_uniq_ell_batch_parts(
         if has_mid2:
             tiers.append(dg.cross_ell3)
             ks.append(dg.ell_k3)
-        outs = masked_ell_splitn_depth_batch(
-            tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+        # Three and more tiers route through per-tier pallas_calls: the
+        # fused batch program's simultaneous per-tier output blocks
+        # blow Mosaic's scoped-VMEM ceiling at Q>=16 and its MLIR
+        # crashes the compile helper (r4); the launch overhead the
+        # split adds amortizes over the batch. One- and two-tier
+        # batches keep the proven fused form.
+        batch_fn = (
+            masked_ell_splitn_depth_batch
+            if len(tiers) <= 2
+            else masked_ell_splitn_depth_batch_split
         )
+        outs = batch_fn(tuple(tiers), dg.ell_heavy, m, ks=tuple(ks))
         d1, u1 = outs[0], outs[1]
         i = 2
         d2 = u2 = None
@@ -579,8 +609,10 @@ def seg_depth_with_uniq_ell_batch_parts(
 # Largest batch per fused kernel invocation: tier output blocks are
 # (Q*SUB, TALL_W) int32 per class — past ~32 queries they outgrow the
 # VMEM budget, so bigger batches chunk (throughput is already flat at
-# this size: the per-batch fixed cost is amortized ~32x).
-ELL_BATCH_CHUNK = 32
+# this size: the per-batch fixed cost is amortized ~32x). Aliases the
+# planner's nominal batch so tier plans amortize over the real
+# serving batch size.
+ELL_BATCH_CHUNK = _ellscan.ELL_BATCH_Q
 
 
 def seg_depth_with_uniq_ell_batch(
@@ -601,8 +633,24 @@ def seg_depth_with_uniq_ell_batch(
             for i in range(0, q, ELL_BATCH_CHUNK)
         ]
         return (
-            np.concatenate([h[0] for h in halves]),
-            np.concatenate([h[1] for h in halves]),
+            np.concatenate([h[0] for h in halves])[:q],
+            np.concatenate([h[1] for h in halves])[:q],
+        )
+    # Bucket Q to a power of two (zero-mask rows pad; results slice
+    # back). Every distinct Q would otherwise compile a fresh Mosaic
+    # program — a full ~30 ms-latency compile round trip per new ragged
+    # remainder on the serving hot path. Buckets cap that at
+    # log2(ELL_BATCH_CHUNK)+1 programs while keeping small-batch
+    # latency near its own size's cost rather than a full chunk's.
+    q_pad = 1 << (q - 1).bit_length()
+    if q_pad != q:
+        path_masks = jnp.concatenate(
+            [
+                jnp.asarray(path_masks),
+                jnp.zeros(
+                    (q_pad - q, path_masks.shape[1]), path_masks.dtype
+                ),
+            ]
         )
     d1, u1, d2, u2, dh, uh = seg_depth_with_uniq_ell_batch_parts(
         dg, path_masks, pallas=pallas
@@ -612,17 +660,17 @@ def seg_depth_with_uniq_ell_batch(
     nm = dg.ell_num_mid + dg.ell_num_mid2  # mid part folds tiers 2+3
     if d2 is None and dh is None and not dg.ell_order.shape[0]:
         return (
-            np.asarray(jax.device_get(d1))[:, :n],
-            np.asarray(jax.device_get(u1))[:, :n],
+            np.asarray(jax.device_get(d1))[:q, :n],
+            np.asarray(jax.device_get(u1))[:q, :n],
         )
-    dparts = [np.asarray(jax.device_get(d1))[:, :nl]]
-    uparts = [np.asarray(jax.device_get(u1))[:, :nl]]
+    dparts = [np.asarray(jax.device_get(d1))[:q, :nl]]
+    uparts = [np.asarray(jax.device_get(u1))[:q, :nl]]
     if d2 is not None:
-        dparts.append(np.asarray(jax.device_get(d2))[:, :nm])
-        uparts.append(np.asarray(jax.device_get(u2))[:, :nm])
+        dparts.append(np.asarray(jax.device_get(d2))[:q, :nm])
+        uparts.append(np.asarray(jax.device_get(u2))[:q, :nm])
     if dh is not None:
-        dparts.append(np.asarray(jax.device_get(dh))[:, :nh])
-        uparts.append(np.asarray(jax.device_get(uh))[:, :nh])
+        dparts.append(np.asarray(jax.device_get(dh))[:q, :nh])
+        uparts.append(np.asarray(jax.device_get(uh))[:q, :nh])
     ne = n - nl - nm - nh
     dparts.append(np.zeros((q, ne), np.int32))
     uparts.append(np.zeros((q, ne), np.int32))

@@ -228,12 +228,13 @@ def iter_gaf_windows(
     from concurrent.futures import ProcessPoolExecutor
 
     ctx = mp.get_context("spawn")
-    with ProcessPoolExecutor(
+    ex = ProcessPoolExecutor(
         workers,
         mp_context=ctx,
         initializer=_gaf_worker_init,
         initargs=(names,),
-    ) as ex:
+    )
+    try:
         pending: deque = deque()
         for block in _iter_gaf_blocks(filename, window_bytes):
             pending.append(ex.submit(_gaf_worker_parse, block))
@@ -241,6 +242,12 @@ def iter_gaf_windows(
                 yield pending.popleft().result()
         while pending:
             yield pending.popleft().result()
+    finally:
+        # A consumer abandoning the generator mid-iteration raises
+        # GeneratorExit here; a context-managed __exit__ would then
+        # BLOCK on every in-flight window (~2 s spawn + parse each).
+        # Cancel what never started and return without waiting.
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 # ---------------------------------------------------------------------------
