@@ -32,6 +32,20 @@ def device_trace(log_dir: str) -> Iterator[None]:
         yield
 
 
+def _sync(out) -> None:
+    """Block until ``out`` is materialized on the HOST. Synchronizing
+    via ``jax.block_until_ready`` silently does not block on remote
+    tunnel backends (timings read ~0); fetching one leaf through
+    ``device_get`` + ``np.asarray`` is the only sync that works on
+    every backend (same pattern as bench.py)."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0]))
+
+
 def time_jitted(fn, *args, reps: int = 3, warmup: int = 1) -> float:
     """Best wall time of a jitted call, synchronized on the result.
 
@@ -39,13 +53,11 @@ def time_jitted(fn, *args, reps: int = 3, warmup: int = 1) -> float:
     are dominated by fixed overhead; for kernel throughput use the
     dependency-chained methodology in bench.py instead.
     """
-    import jax
-
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best

@@ -59,12 +59,37 @@ def time_chained(fn, args, reps=2):
         k *= 8
 
 
+def _force_three_tiers():
+    """Monkeypatch the planner to a fixed three-tier split (k=1,4,16 +
+    heavy): the ellb3* stages measure whether a 3-tier plan ever pays
+    at batch shapes now that the split emission compiles (the fused
+    3-tier batch program crashed the compile helper in r4)."""
+    from pollen_tpu.kernels import ellscan as _e
+
+    def forced(runs_per_seg, big_seg, p_pad, max_tiers=3,
+               objective="single"):
+        crossed = runs_per_seg > 0
+        valid = ~big_seg & crossed
+        ks = (1, 4, 16)
+        tiers = []
+        prev = np.zeros_like(valid)
+        for k in ks:
+            t = valid & (runs_per_seg <= k) & ~prev
+            tiers.append(t)
+            prev = prev | t
+        return ks, tiers, crossed & ~prev
+
+    _e.plan_ell_tiers_n = forced
+
+
 def main():
     n_steps = int(os.environ.get("POLLEN_BENCH_STEPS", 2**22))
     n_segs = int(os.environ.get("POLLEN_BENCH_SEGS", 2**18))
     n_paths = int(os.environ.get("POLLEN_BENCH_PATHS", 128))
     stage = sys.argv[1]
 
+    if stage.startswith("ellb3"):
+        _force_three_tiers()
     t0 = time.perf_counter()
     _, dg = synth_device_graph(n_steps, n_segs, n_paths)
     print(
@@ -145,7 +170,7 @@ def main():
             flush=True,
         )
 
-    elif stage == "ellb":
+    elif stage in ("ellb", "ellb3"):
         # Batched fused split kernel (parts form): µs/query. Pass a Q
         # as argv[2] to run ONE compile per process (probe discipline:
         # a death window mid-stage must cost one point, not three).
@@ -201,13 +226,13 @@ def main():
                 k *= 8
             per_q = per_iter / q
             print(
-                f"ellb q={q}: {per_iter * 1e6:.1f} us/batch "
+                f"{stage} q={q}: {per_iter * 1e6:.1f} us/batch "
                 f"({per_q * 1e6:.2f} us/query, "
                 f"{n_steps / per_q / 1e9:.0f} G steps/s) "
                 f"(total {time.perf_counter() - t0:.1f}s)",
                 flush=True,
             )
-        print("ellb: done", flush=True)
+        print(f"{stage}: done", flush=True)
 
     elif stage == "ellraw":
         # The fused splitn kernel ALONE, mask words + folded-mask
@@ -278,7 +303,7 @@ def main():
             flush=True,
         )
 
-    elif stage == "ellbok":
+    elif stage in ("ellbok", "ellb3ok"):
         # Batched on-device exactness: parts vs Q single XLA queries.
         from pollen_tpu.ops.depth import (
             seg_depth_with_uniq_ell_batch_parts,
@@ -312,7 +337,7 @@ def main():
         t0 = time.perf_counter()
         total = int(np.asarray(jax.device_get(diff(masks, dg))))
         print(
-            f"ellbok: diff={total} "
+            f"{stage}: diff={total} "
             f"(total {time.perf_counter() - t0:.1f}s)",
             flush=True,
         )
