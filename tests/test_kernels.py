@@ -888,6 +888,48 @@ def test_ell_batch_kernel_matches_reference(q):
         )
 
 
+@pytest.mark.parametrize("q", [4, 16])
+def test_ell_batch_split_three_tiers(q):
+    """The per-tier split emission of the batched query — the route
+    that lifts the r4 two-tier batch cap (the fused three-tier program
+    blows Mosaic's scoped VMEM at Q=16 and crashed the compile helper)
+    — equals the dense per-query reference on all four classes."""
+    from pollen_tpu.kernels.ellscan import (
+        masked_ell_splitn_depth_batch_split,
+    )
+
+    k, k2, k3, p = 1, 4, 16, 48
+    t1, t2, hm, c1, c2, ch = _synth_ell_split(seed=11, p=p, k=k, k2=k2)
+    t3, _, _, c3, _, _ = _synth_ell_split(seed=12, p=p, k=k3)
+    rng = np.random.default_rng(21)
+    masks = rng.integers(0, 2, (q, p)).astype(np.int32)
+
+    outs = masked_ell_splitn_depth_batch_split(
+        (jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(t3)),
+        jnp.asarray(hm),
+        jnp.asarray(masks),
+        ks=(k, k2, k3),
+        interpret=True,
+    )
+    assert len(outs) == 8
+    mref = np.zeros((q, 128), np.int64)
+    mref[:, :p] = masks
+    pairs = [
+        (c1, outs[0], outs[1]),
+        (c2, outs[2], outs[3]),
+        (c3, outs[4], outs[5]),
+        (ch, outs[6], outs[7]),
+    ]
+    for cls, d, u in pairs:
+        cols = cls.shape[1]
+        np.testing.assert_array_equal(
+            np.asarray(d)[:, :cols], mref @ cls
+        )
+        np.testing.assert_array_equal(
+            np.asarray(u)[:, :cols], mref @ (cls > 0)
+        )
+
+
 def test_ell_batch_kernel_no_mid_no_heavy():
     """Batched kernel with only tier-1 present."""
     from pollen_tpu.kernels.ellscan import masked_ell_split3_depth_batch
