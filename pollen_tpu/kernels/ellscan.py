@@ -114,12 +114,15 @@ def plan_ell_tiers_n(
     only when no crossed segment fits any K (all heavy)."""
     crossed = runs_per_seg > 0
     valid = ~big_seg & crossed
-    if objective == "batch":
-        # The batched kernel unrolls every phase per query; a three-
-        # tier batch program at Q=16 produced ~120 KB of MLIR and
-        # crashed the TPU compile helper outright (r4 probe). Two
-        # tiers + heavy is the measured batch winner and compiles.
-        max_tiers = min(max_tiers, 2)
+    # No tier-count cap for the batch objective: three-plus-tier batch
+    # plans route through the per-tier split emission
+    # (masked_ell_splitn_depth_batch_split), which compiles where the
+    # fused 3-tier program crashed the helper in r4. Measured on
+    # hardware (r5 ellb3/ellb3ok): a forced k=1,4,16 3-tier batch at
+    # Q=16 runs 6.75 us/query, diff=0 — real but beaten at bench shape
+    # by the model's own heavy-dominant 2-class pick (4.99 us), so the
+    # search decides per graph; chr8-shaped graphs genuinely plan
+    # three tiers (k=1,2,8).
     # Tiers are charged at their RESIDENT (tall-padded) column counts:
     # pack_ell_tall pads to SUB*TALL_W-column tiles, so a small tier
     # with a large K is far costlier than its raw count suggests.
@@ -506,9 +509,17 @@ def _kernel_splitn(
     gs,
     has_heavy,
     h_rotate=True,
+    h_lo=None,
+    gh=0,
 ):
     """N tier phases + an optional heavy phase in one grid. ``refs``
-    is (tier_in..., [heavy_in], tier_d/u pairs..., [heavy_d/u])."""
+    is (tier_in..., [heavy_in], tier_d/u pairs..., [heavy_d/u]).
+
+    ``h_lo``: first grid step where the heavy phase is active. None =
+    sequential (heavy follows the tiers, the r3/r4 form); 0 = JOINT —
+    heavy steps share the early grid steps with the tier phases, so
+    the MXU dots overlap the tier VPU work instead of paying their own
+    pipeline ramp after it (``gh`` bounds the active heavy steps)."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
@@ -545,8 +556,14 @@ def _kernel_splitn(
 
     if has_heavy:
         g_tiers = off
+        lo = g_tiers if h_lo is None else h_lo
+        active = (
+            i >= lo
+            if h_lo is None
+            else jnp.logical_and(i >= lo, i < lo + gh)
+        )
 
-        @pl.when(i >= g_tiers)
+        @pl.when(active)
         def _heavy():
             from .crossmat import _unpack_tile
 
@@ -566,7 +583,7 @@ def _kernel_splitn(
                 preferred_element_type=jnp.float32,
             )
             if h_rotate:
-                r = (i - g_tiers) % 8
+                r = (i - lo) % 8
                 outs[2 * nt][pl.dslice(r, 1), :] = depth[:1, :].astype(
                     jnp.int32
                 )
@@ -579,7 +596,7 @@ def _kernel_splitn(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ks", "interpret")
+    jax.jit, static_argnames=("ks", "interpret", "joint")
 )
 def masked_ell_splitn_depth(
     tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
@@ -587,6 +604,7 @@ def masked_ell_splitn_depth(
     mask: jax.Array,  # int32/bool[>=P] (0/1), original path order
     ks: Tuple[int, ...],
     interpret: bool = False,
+    joint: bool = False,
 ):
     """Fused (N tiers + heavy) split query — the general form of the
     three-phase kernel, one Pallas pass whatever the tier count.
@@ -607,12 +625,12 @@ def masked_ell_splitn_depth(
     else:
         m = jnp.zeros((8, LANES), jnp.bfloat16)
     return masked_ell_splitn_depth_raw(
-        tiers, heavy, words, m, ks=ks, interpret=interpret
+        tiers, heavy, words, m, ks=ks, interpret=interpret, joint=joint
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ks", "interpret")
+    jax.jit, static_argnames=("ks", "interpret", "joint")
 )
 def masked_ell_splitn_depth_raw(
     tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
@@ -621,6 +639,7 @@ def masked_ell_splitn_depth_raw(
     m: jax.Array,  # bf16 (8, P_pad) folded-mask matrix (row 0)
     ks: Tuple[int, ...],
     interpret: bool = False,
+    joint: bool = False,
 ):
     """The fused split query with the mask ALREADY packed: ``words``
     from :func:`pack_mask_words`, ``m`` the folded bf16 mask matrix.
@@ -692,22 +711,25 @@ def masked_ell_splitn_depth_raw(
         )
         for t in range(nt)
     ]
+    # JOINT mode: heavy steps ride the first gh grid steps alongside
+    # the tier phases (MXU overlaps VPU) instead of extending the grid.
+    h_lo = 0 if joint else g_tiers
     h_spec = pl.BlockSpec(
         (h_rows, hw),
-        lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+        lambda i: (0, clamp(i - h_lo, 0, max(gh - 1, 0))),
         memory_space=pltpu.VMEM,
     )
     if h_rotate:
         ho_spec = pl.BlockSpec(
             (8, hw),
-            lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)) // 8, 0),
+            lambda i: (clamp(i - h_lo, 0, max(gh - 1, 0)) // 8, 0),
             memory_space=pltpu.VMEM,
         )
         ho_shape = jax.ShapeDtypeStruct((gh // 8 * 8, hw), jnp.int32)
     else:
         ho_spec = pl.BlockSpec(
             (1, hw),
-            lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+            lambda i: (0, clamp(i - h_lo, 0, max(gh - 1, 0))),
             memory_space=pltpu.VMEM,
         )
         ho_shape = jax.ShapeDtypeStruct((1, gh * hw), jnp.int32)
@@ -733,6 +755,7 @@ def masked_ell_splitn_depth_raw(
         ins.append(heavy)
 
     n_words = words.shape[0]
+    grid_len = max(g_tiers, gh) if joint else g_tiers + gh
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(
@@ -742,8 +765,10 @@ def masked_ell_splitn_depth_raw(
                 gs=gs,
                 has_heavy=has_heavy,
                 h_rotate=h_rotate,
+                h_lo=0 if joint else None,
+                gh=gh,
             ),
-            grid=(g_tiers + gh,),
+            grid=(grid_len,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),

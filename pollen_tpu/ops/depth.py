@@ -23,6 +23,13 @@ from ..device import (
 from ..flatgfa import GraphArrays
 from ..kernels import ellscan as _ellscan
 
+# Joint-grid emission of the fused single-query split kernel (heavy
+# MXU steps overlap the tier VPU steps instead of following them).
+# Opt-in while under measurement; see kernels/ellscan.py.
+import os as _os
+
+ELL_JOINT = _os.environ.get("POLLEN_ELL_JOINT") == "1"
+
 
 @jax.jit
 def seg_depth_with_uniq(dg: DeviceGraph) -> Tuple[jax.Array, jax.Array]:
@@ -289,7 +296,8 @@ def seg_depth_with_uniq_ell_parts(
             tiers.append(dg.cross_ell3)
             ks.append(dg.ell_k3)
         outs = masked_ell_splitn_depth(
-            tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+            tuple(tiers), dg.ell_heavy, m, ks=tuple(ks),
+            joint=ELL_JOINT,
         )
         d1, u1 = outs[0], outs[1]
         i = 2

@@ -447,6 +447,24 @@ def test_ell_split_fused_kernel():
     np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
     np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
 
+    # Joint-grid emission: heavy steps ride the early grid steps
+    # alongside the tier phases; answers identical to the sequential
+    # form in both the 1-tier and 2-tier shapes.
+    from pollen_tpu.kernels.ellscan import masked_ell_splitn_depth
+
+    for tiers, ks in (
+        ((jnp.asarray(tall),), (k,)),
+        ((jnp.asarray(tall), jnp.asarray(tall2)), (k, k2)),
+    ):
+        outs = masked_ell_splitn_depth(
+            tiers, jnp.asarray(heavy), jnp.asarray(mask),
+            ks=ks, interpret=True, joint=True,
+        )
+        np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(d_lx))
+        np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(u_lx))
+        np.testing.assert_array_equal(np.asarray(outs[-2]), np.asarray(d_hx))
+        np.testing.assert_array_equal(np.asarray(outs[-1]), np.asarray(u_hx))
+
 
 def test_ell_tiered_split_end_to_end(monkeypatch):
     """A graph with many 1-run segments, a band of mid-popularity
