@@ -6,7 +6,7 @@ test:
 	python -m pytest tests/ -q
 
 test-scale:
-	POLLEN_SCALE_TEST=1 python -m pytest tests/test_scale.py -q
+	POLLEN_SCALE_TEST=1 POLLEN_CHR8_STEPS=8000000 python -m pytest tests/test_scale.py -q
 
 test-fast:
 	python -m pytest tests/ -q -x

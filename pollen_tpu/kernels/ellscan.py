@@ -834,6 +834,8 @@ def _kernel_splitn_batch(
     gs,
     q,
     has_heavy,
+    h_lo=None,
+    gh=0,
 ):
     from jax.experimental import pallas as pl
 
@@ -879,8 +881,14 @@ def _kernel_splitn_batch(
 
     if has_heavy:
         g_tiers = off
+        lo = g_tiers if h_lo is None else h_lo
+        active = (
+            i >= lo
+            if h_lo is None
+            else jnp.logical_and(i >= lo, i < lo + gh)
+        )
 
-        @pl.when(i >= g_tiers)
+        @pl.when(active)
         def _heavy():
             from .crossmat import _unpack_tile
 
@@ -913,13 +921,14 @@ def _tall_batch_to_natural(x: jax.Array, g: int, q: int) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ks", "interpret", "joint"))
 def masked_ell_splitn_depth_batch(
     tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
     heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
     masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
     ks,
     interpret: bool = False,
+    joint: bool = False,
 ):
     """Fused batched split query, any tier count: Q masks in one Pallas
     pass. Returns ``(d_t, u_t)`` per tier of shape (Q, tier_cols),
@@ -989,14 +998,17 @@ def masked_ell_splitn_depth_batch(
         )
         for t in range(nt)
     ]
+    # JOINT mode (see the single-query form): heavy steps ride the
+    # first gh grid steps so the MXU matmul overlaps the tier phases.
+    h_lo = 0 if joint else g_tiers
     h_spec = pl.BlockSpec(
         (h_rows, hw),
-        lambda i: (0, clamp(i - g_tiers, 0, max(gh - 1, 0))),
+        lambda i: (0, clamp(i - h_lo, 0, max(gh - 1, 0))),
         memory_space=pltpu.VMEM,
     )
     ho_spec = pl.BlockSpec(
         (q8, hw),
-        lambda i: (clamp(i - g_tiers, 0, max(gh - 1, 0)), 0),
+        lambda i: (clamp(i - h_lo, 0, max(gh - 1, 0)), 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -1019,6 +1031,7 @@ def masked_ell_splitn_depth_batch(
         s = jax.ShapeDtypeStruct((gh * q8, hw), jnp.int32)
         out_shape += [s, s]
 
+    grid_len = max(g_tiers, gh) if joint else g_tiers + gh
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(
@@ -1028,8 +1041,10 @@ def masked_ell_splitn_depth_batch(
                 gs=gs,
                 q=q,
                 has_heavy=has_heavy,
+                h_lo=0 if joint else None,
+                gh=gh,
             ),
-            grid=(g_tiers + gh,),
+            grid=(grid_len,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),

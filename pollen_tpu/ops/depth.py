@@ -23,12 +23,18 @@ from ..device import (
 from ..flatgfa import GraphArrays
 from ..kernels import ellscan as _ellscan
 
-# Joint-grid emission of the fused single-query split kernel (heavy
-# MXU steps overlap the tier VPU steps instead of following them).
-# Opt-in while under measurement; see kernels/ellscan.py.
+# Joint-grid emission of the fused single-query split kernel: heavy
+# MXU steps ride the early grid steps alongside the tier VPU phases
+# instead of following them. Measured 13.7 vs 13.9 us/query at bench
+# shape with ellok diff=0 (r5); POLLEN_ELL_JOINT=0 restores the
+# sequential grid. See kernels/ellscan.py.
 import os as _os
 
-ELL_JOINT = _os.environ.get("POLLEN_ELL_JOINT") == "1"
+ELL_JOINT = _os.environ.get("POLLEN_ELL_JOINT", "1") == "1"
+# Same option for the batched kernel (off until measured to pay there:
+# batch output blocks are Q-fold bigger, so the joint grid raises the
+# per-step VMEM watermark).
+ELL_BATCH_JOINT = _os.environ.get("POLLEN_ELL_BATCH_JOINT") == "1"
 
 
 @jax.jit
@@ -548,12 +554,15 @@ def seg_depth_with_uniq_ell_batch_parts(
         # crashes the compile helper (r4); the launch overhead the
         # split adds amortizes over the batch. One- and two-tier
         # batches keep the proven fused form.
-        batch_fn = (
-            masked_ell_splitn_depth_batch
-            if len(tiers) <= 2
-            else masked_ell_splitn_depth_batch_split
-        )
-        outs = batch_fn(tuple(tiers), dg.ell_heavy, m, ks=tuple(ks))
+        if len(tiers) <= 2:
+            outs = masked_ell_splitn_depth_batch(
+                tuple(tiers), dg.ell_heavy, m, ks=tuple(ks),
+                joint=ELL_BATCH_JOINT,
+            )
+        else:
+            outs = masked_ell_splitn_depth_batch_split(
+                tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+            )
         d1, u1 = outs[0], outs[1]
         i = 2
         d2 = u2 = None

@@ -905,6 +905,28 @@ def test_ell_batch_kernel_matches_reference(q):
             np.asarray(u)[:, :cols], want_u
         )
 
+    # Joint-grid batch emission equals the sequential form.
+    from pollen_tpu.kernels.ellscan import masked_ell_splitn_depth_batch
+
+    outs = masked_ell_splitn_depth_batch(
+        (jnp.asarray(t1), jnp.asarray(t2)),
+        jnp.asarray(hm),
+        jnp.asarray(masks),
+        ks=(k, k2),
+        interpret=True,
+        joint=True,
+    )
+    for cls, d, u in (
+        (c1, outs[0], outs[1]),
+        (c2, outs[2], outs[3]),
+        (ch, outs[4], outs[5]),
+    ):
+        cols = cls.shape[1]
+        np.testing.assert_array_equal(np.asarray(d)[:, :cols], mref @ cls)
+        np.testing.assert_array_equal(
+            np.asarray(u)[:, :cols], mref @ (cls > 0)
+        )
+
 
 @pytest.mark.parametrize("q", [4, 16])
 def test_ell_batch_split_three_tiers(q):
