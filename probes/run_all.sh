@@ -53,8 +53,12 @@ run_stage "ellb q=8" 900 probes/ell_probe.py ellb 8   # batched, one Q each
 run_stage "ellb q=16" 900 probes/ell_probe.py ellb 16
 run_stage "ellb q=32" 900 probes/ell_probe.py ellb 32
 run_stage "ellbok:" 1500 probes/ell_probe.py ellbok   # batched exactness
+run_stage "ellb3 q=16" 900 probes/ell_probe.py ellb3 16  # 3-tier split emission
+run_stage "ellb3ok:" 1500 probes/ell_probe.py ellb3ok
 run_stage "crossd:" 900 probes/ell_probe.py crossd    # dense depth-only
 run_stage "scanb:" 1500 probes/ell_probe.py scanb     # scan + planned bnd
 run_stage "scanx:" 1500 probes/ell_probe.py scanx     # scan + XLA bnd
 run_stage "scatter: done" 600 probes/ell_probe.py scatter
+run_stage "chop:" 900 probes/transform_probe.py chop  # host-vs-device
+run_stage "crush:" 900 probes/transform_probe.py crush
 echo "[$(date +%H:%M:%S)] ALL DONE" >> "$OUT"
