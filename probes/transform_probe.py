@@ -29,12 +29,16 @@ from bench import synth_device_graph  # noqa: E402
 
 
 def chained_time(fn, args, reps=2):
-    """Chained wall time of fn(*args) -> scalar, growing K."""
+    """Chained wall time of ``fn(carry, *args) -> carry`` with a TRUE
+    inter-iteration dependency: the scalar carry must perturb one of
+    fn's inputs, or XLA hoists the loop-invariant body and the
+    division by K understates the time (the exact folding trap
+    CLAUDE.md documents)."""
 
     @jax.jit
     def chained(k, *rest):
-        def body(i, acc):
-            return acc + fn(*rest) + i * 0
+        def body(i, carry):
+            return fn(carry, *rest)
 
         return jax.lax.fori_loop(0, k, body, jnp.int64(0))
 
@@ -82,7 +86,12 @@ def main() -> None:
         lens_d = jnp.asarray(lens)
         steps_d = jnp.asarray(np.asarray(g.steps))
 
-        def dev(lens_d, steps_d):
+        def dev(carry, lens_d, steps_d):
+            # True dependency: the previous result perturbs step 0's
+            # orientation bit, so no iteration's work can be hoisted.
+            steps_d = steps_d.at[0].set(
+                steps_d[0] ^ (carry % 2).astype(steps_d.dtype)
+            )
             pieces = jnp.maximum((lens_d + 2) // 3, 0).astype(jnp.int32)
             first_new = jnp.cumsum(pieces) - pieces
             s_seg = (steps_d >> 1).astype(jnp.int32)
@@ -92,7 +101,7 @@ def main() -> None:
             owner = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
             off = j - (cum[owner] - counts[owner])
             new_ids = first_new[s_seg[owner]] + off
-            return new_ids[-1].astype(jnp.int64) + new_ids[0]
+            return (new_ids[-1] + new_ids[0]).astype(jnp.int64)
 
         per = chained_time(dev, (lens_d, steps_d))
         print(
@@ -124,7 +133,12 @@ def main() -> None:
         ).astype(np.int32)
         starts_d = jnp.asarray(bounds_np[:-1])
 
-        def dev(seq_d, starts_d):
+        def dev(carry, seq_d, starts_d):
+            # True dependency: the previous result toggles byte 0
+            # between 'A' and 'N'.
+            seq_d = seq_d.at[0].set(
+                jnp.where(carry % 2 == 0, 65, 78).astype(jnp.uint8)
+            )
             is_n = seq_d == np.uint8(78)
             prev = jnp.concatenate([jnp.zeros(1, bool), is_n[:-1]])
             seg_start = jnp.zeros(b, bool).at[starts_d].set(True)
