@@ -98,6 +98,14 @@ def time_command(
     from pollen_tpu.scripts import script_env
 
     env = script_env()
+    # One-shot CLI comparisons measure the HOST tools (the reference's
+    # harness compares odgi/fgfa/slow_odgi on a host too). Above the
+    # auto_platform threshold a graph would otherwise route to the
+    # remote accelerator and pay seconds of tunnel transfer per
+    # process — measured 13.9 s vs 7.0 s for the same 8M-step depth —
+    # which benchmarks the link, not the tool. POLLEN_DEVICE in the
+    # caller's environment still overrides.
+    env.setdefault("POLLEN_DEVICE", "cpu")
     for _ in range(warmup):
         r = subprocess.run(
             cmd, shell=True, capture_output=True, text=False, env=env

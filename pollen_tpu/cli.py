@@ -298,11 +298,29 @@ def _main(argv: Optional[List[str]] = None) -> None:
             from .device import build_device_graph
 
             dg_cache.append(
-                build_device_graph(g, ell_objective=args.ell_objective)
+                build_device_graph(
+                    g,
+                    ell_objective=args.ell_objective,
+                    cross_matrix=(
+                        "auto" if _needs_masked_index(args) else "never"
+                    ),
+                )
             )
         return dg_cache[0]
 
     _run_command(parser, args, g, sys.stdout, make_dg)
+
+
+def _needs_masked_index(args) -> bool:
+    """Only masked/batched subset-depth queries read the crossing
+    matrix / tiered-ELL indexes; every other one-shot command skips
+    building them (measured: 3.9 s -> 1.8 s ingest at 8M steps).
+    The serve loop always builds the full set — it answers arbitrary
+    later queries."""
+    return args.command == "depth" and bool(
+        getattr(args, "subset_paths", None)
+        or getattr(args, "subset_batch", None)
+    )
 
 
 def _serve(parser: argparse.ArgumentParser, args, g: GraphArrays) -> None:

@@ -80,7 +80,12 @@ class Env:
             from ..device import auto_platform
 
             auto_platform(self.graph(r).num_steps)
-            self._device_cache[key] = build_device_graph(self.graph(r))
+            # No flash op does masked subset-depth, so never build the
+            # crossing-matrix / tiered-ELL indexes (measured: halves
+            # the 8M-step ingest).
+            self._device_cache[key] = build_device_graph(
+                self.graph(r), cross_matrix="never"
+            )
         return self._device_cache[key]
 
 
