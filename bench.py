@@ -631,7 +631,9 @@ def _emit_result(steps_per_s: float, n_steps: int, roofline) -> None:
 def _bench_bytes_per_step(dg, impl: str, n_steps: int) -> float:
     if impl == "ell":
         return (
-            4.0 * int(dg.cross_ell.size + dg.cross_ell2.size)
+            4.0 * int(
+                dg.cross_ell.size + dg.cross_ell2.size + dg.cross_ell3.size
+            )
             + int(dg.ell_heavy.size)
             + 4.0 * int(dg.ell_heavy_res.size)
         ) / n_steps
@@ -732,7 +734,10 @@ def child_main() -> None:
         if not partial_path:
             return
         try:
-            with open(partial_path, "w") as f:
+            # Atomic replace: the parent's timeout SIGKILL landing
+            # mid-write must not destroy the previously banked partial.
+            tmp = partial_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {
                         "per_query": per_iter,
@@ -743,6 +748,7 @@ def child_main() -> None:
                     },
                     f,
                 )
+            os.replace(tmp, partial_path)
         except Exception:
             pass
 

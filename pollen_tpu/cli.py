@@ -317,9 +317,18 @@ def _needs_masked_index(args) -> bool:
     building them (measured: 3.9 s -> 1.8 s ingest at 8M steps).
     The serve loop always builds the full set — it answers arbitrary
     later queries."""
-    return args.command == "depth" and bool(
-        getattr(args, "subset_paths", None)
-        or getattr(args, "subset_batch", None)
+    if args.command != "depth":
+        return False
+    # -s only reaches the masked route under -d (run_seg_depth); bare
+    # `depth -s` and `depth -b ... -s` dispatch to path/interval depth
+    # and never read the masked indexes.
+    return bool(
+        getattr(args, "subset_batch", None)
+        or (
+            getattr(args, "seg_depth", False)
+            and getattr(args, "subset_paths", None)
+            and not getattr(args, "bed_input", None)
+        )
     )
 
 

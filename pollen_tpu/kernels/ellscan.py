@@ -921,6 +921,16 @@ def _tall_batch_to_natural(x: jax.Array, g: int, q: int) -> jax.Array:
     )
 
 
+def pack_mask_words_batch(masks: jax.Array) -> jax.Array:
+    """int32[Q, ceil(P/32)] packed mask-bit words for a (Q, P) batch
+    (the batched analogue of :func:`pack_mask_words`)."""
+    q, p = masks.shape
+    n_words = -(-p // 32)
+    return jnp.stack(
+        [pack_mask_words(masks[i], n_words) for i in range(q)]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("ks", "interpret", "joint"))
 def masked_ell_splitn_depth_batch(
     tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
@@ -934,6 +944,25 @@ def masked_ell_splitn_depth_batch(
     pass. Returns ``(d_t, u_t)`` per tier of shape (Q, tier_cols),
     then ``(dh, uh)`` of shape (Q, heavy_cols) (or None, None when the
     heavy class is absent)."""
+    return masked_ell_splitn_depth_batch_raw(
+        tiers, heavy, pack_mask_words_batch(masks), masks,
+        ks=ks, interpret=interpret, joint=joint,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ks", "interpret", "joint"))
+def masked_ell_splitn_depth_batch_raw(
+    tiers,
+    heavy: jax.Array,
+    words: jax.Array,  # int32[Q, n_words] pre-packed mask-bit words
+    masks: jax.Array,  # int32/bool[Q, >=P] (heavy fold + shapes only)
+    ks,
+    interpret: bool = False,
+    joint: bool = False,
+):
+    """The batched split query with the bit words ALREADY packed —
+    lets the split (per-tier) emission pack once and share across its
+    pallas_calls instead of repeating the Q-row packing per tier."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -948,11 +977,7 @@ def masked_ell_splitn_depth_batch(
         gs.append(t.shape[0] // (k * SUB))
     gs = tuple(gs)
     g_tiers = sum(gs)
-
-    n_words = -(-p // 32)
-    words = jnp.stack(
-        [pack_mask_words(masks[i], n_words) for i in range(q)]
-    )
+    n_words = words.shape[1]
 
     has_heavy = heavy.size > 0
     if has_heavy:
@@ -1091,10 +1116,12 @@ def masked_ell_splitn_depth_batch_split(
     from .crossmat import batched_cross_depth_pallas
 
     empty_heavy = jnp.zeros((0, 0), jnp.uint8)
+    words = pack_mask_words_batch(masks)  # once, shared by every tier
     result = []
     for t, k in zip(tiers, ks):
-        d, u, _, _ = masked_ell_splitn_depth_batch(
-            (t,), empty_heavy, masks, ks=(k,), interpret=interpret
+        d, u, _, _ = masked_ell_splitn_depth_batch_raw(
+            (t,), empty_heavy, words, masks, ks=(k,),
+            interpret=interpret,
         )
         result += [d, u]
     if heavy.size > 0:

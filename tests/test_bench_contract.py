@@ -38,12 +38,16 @@ def test_bench_survives_first_dispatch_hang():
             "POLLEN_BENCH_STEPS": str(2**14),
             "POLLEN_BENCH_SEGS": str(2**10),
             "POLLEN_BENCH_PATHS": "16",
-            "POLLEN_BENCH_DEADLINE": "210",
+            # 130 s: the wedged attempt 1 gets ~48 s before the kill
+            # (enough to prove the timeout path, cheap enough for the
+            # default suite), attempt 2 ~30 s for the real cpu
+            # measurement at 2^14 steps.
+            "POLLEN_BENCH_DEADLINE": "130",
             "POLLEN_BENCH_TRIES": "2",
             "POLLEN_BENCH_TEST_STALL": "1",  # attempt 1 hangs forever
             "POLLEN_BENCH_ROOFLINE_BUDGET": "1",
         },
-        timeout=280,
+        timeout=200,
     )
     assert "timed out (attempt 1" in proc.stderr, proc.stderr[-2000:]
     assert rec["value"] > 0, proc.stderr[-2000:]
