@@ -104,3 +104,25 @@ def test_depth_subset_batch_cli(tmp_path):
         f.write_text("\n".join(subset) + "\n")
         singles.append(f"##query\t{i}\n" + run("depth", "-d", "-s", str(f)))
     assert got == "".join(singles)
+
+
+def test_masked_index_gate():
+    """Only depth -d -s and depth -S build the masked-query indexes;
+    every other command (including bare depth -s, which dispatches to
+    path depth, and depth -b ... -s) skips the multi-second crossing
+    matrix / ELL construction."""
+    from pollen_tpu.cli import _needs_masked_index, build_parser
+
+    parser = build_parser()
+
+    def needs(argv):
+        return _needs_masked_index(parser.parse_args(argv))
+
+    assert needs(["depth", "-d", "-s", "subset.txt"])
+    assert needs(["depth", "-S", "subsets.txt"])
+    assert not needs(["depth", "-d"])
+    assert not needs(["depth", "-s", "subset.txt"])  # path depth
+    assert not needs(["depth", "-b", "x.bed", "-s", "subset.txt"])
+    assert not needs(["depth", "-r", "alpha"])
+    assert not needs(["degree"])
+    assert not needs(["chop", "-c", "3"])
