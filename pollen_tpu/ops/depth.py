@@ -512,7 +512,8 @@ def seg_depth_with_uniq_ell_batch_parts(
     seg_depth_with_uniq_ell_parts). One fused Pallas pass answers the
     whole batch: the slot DMA amortizes Q-fold and the heavy phase
     becomes a real MXU matmul (kernels/ellscan.py
-    masked_ell_split3_depth_batch); off-TPU the XLA forms batch via
+    masked_ell_splitn_depth_batch; three-plus-tier plans route through
+    the per-tier split emission); off-TPU the XLA forms batch via
     vmap/matmul. The heavy clip residual is already applied."""
     from ..kernels.crossmat import batched_cross_depth
     from ..kernels.ellscan import (
