@@ -212,7 +212,7 @@ def project_for_impl(dg, impl: str):
     return ship(project_host(dg, impl))
 
 
-_INGEST_CACHE_VERSION = 1
+_INGEST_CACHE_VERSION = 2  # v2: pack16 tall tiers
 
 
 def _ingest_cache_dir() -> str:

@@ -109,6 +109,7 @@ from .flatgfa import GraphArrays
         "ell_k2",
         "ell_k3",
         "ell_sub",
+        "ell_pack16",
         "bnd_w_rows",
         "bnd_over_tiles",
         "bnd2_w_rows",
@@ -213,6 +214,10 @@ class DeviceGraph:
     # one SUB and queried under another would silently produce wrong
     # layouts. 0 = no ELL index.
     ell_sub: int = 0
+    # 1 = tall tiers store 16-bit PAIRED slots (two path<<8|count
+    # halves per int32 word; kernels/ellscan.py pair_ell16). ell_k*
+    # then record STORED word counts, not logical slot counts.
+    ell_pack16: int = 0
     # Boundary-gather window rows (static); 0 = plan absent.
     bnd_w_rows: int = 0
     # Overflow-tile indices (static; unrolled fixup — see gatherb.py).
@@ -416,6 +421,7 @@ def build_device_graph(
     ell_nh = 0  # heavy count
     k_ell = k_ell2 = k_ell3 = 0
     ell_sub_v = 0
+    ell_pack16_v = 0
     if (
         s > 0
         and 0 < p < (1 << 16)
@@ -426,6 +432,7 @@ def build_device_graph(
         from .kernels.ellscan import (
             COUNT_MAX,
             pack_ell,
+            pair_ell16,
             plan_ell_tiers_n,
         )
 
@@ -436,6 +443,22 @@ def build_device_graph(
             ell_objective = os.environ.get(
                 "POLLEN_ELL_OBJECTIVE", "single"
             )
+        # 16-bit paired slots for haplotype-scale path counts: two
+        # path<<8|count halves per int32 word halve the tier-phase
+        # bytes (raw single query measured 12.4 -> 11.5 us, diff=0,
+        # and the resident tier footprint/upload halves). The BATCHED
+        # kernel is select-bound (DMA amortizes over Q) and measured a
+        # ~3% regression from the extra per-half unpack, so
+        # batch-objective plans keep 32-bit slots. Segments with any
+        # run count > 255 route whole to the heavy class instead of
+        # carrying a clip residual.
+        use_pack16 = (
+            p <= 256
+            and ell_objective != "batch"
+            and os.environ.get("POLLEN_ELL_PACK16", "1") == "1"
+        )
+        if use_pack16:
+            big_seg[run_seg[run_count > 255]] = True
         ks, tier_masks, heavy_b = plan_ell_tiers_n(
             runs_per_seg, big_seg, p_pad_m, objective=ell_objective
         )
@@ -504,15 +527,28 @@ def build_device_graph(
                     max(cols, 1),
                 )
 
-            ell = pack_tier(tier_masks[0], ks[0], tier_counts[0])
-            k_ell = ks[0]
+            def store_tier(t_b, k, cols):
+                """Pack one tier; pack16 pairs slots (counts <= 255 and
+                paths < 256 guaranteed by the big_seg routing above).
+                Returns (slots_array, STORED word count)."""
+                e = pack_tier(t_b, k, cols)
+                if use_pack16:
+                    return pair_ell16(e), (k + 1) // 2
+                return e, k
+
+            ell, k_ell = store_tier(
+                tier_masks[0], ks[0], tier_counts[0]
+            )
             ell_sub_v = SUB
+            ell_pack16_v = 1 if use_pack16 else 0
             if len(ks) > 1:
-                ell2 = pack_tier(tier_masks[1], ks[1], tier_counts[1])
-                k_ell2 = ks[1]
+                ell2, k_ell2 = store_tier(
+                    tier_masks[1], ks[1], tier_counts[1]
+                )
             if len(ks) > 2:
-                ell3 = pack_tier(tier_masks[2], ks[2], tier_counts[2])
-                k_ell3 = ks[2]
+                ell3, k_ell3 = store_tier(
+                    tier_masks[2], ks[2], tier_counts[2]
+                )
             ell_nl = tier_counts[0]
             ell_nm = tier_counts[1] if len(ks) > 1 else 0
             ell_nm2 = tier_counts[2] if len(ks) > 2 else 0
@@ -712,6 +748,7 @@ def build_device_graph(
         ell_k2=k_ell2,
         ell_k3=k_ell3,
         ell_sub=ell_sub_v,
+        ell_pack16=ell_pack16_v,
         bnd_w_rows=bnd_w_rows,
         bnd_over_tiles=bnd_over_tiles,
         bnd2_w_rows=bnd2_w_rows,

@@ -337,6 +337,41 @@ def _kernel(mask_ref, ell_ref, depth_ref, uniq_ref, *, n_words):
     uniq_ref[:] = uniq
 
 
+def pair_ell16(ell: np.ndarray) -> np.ndarray:
+    """int32[K, N] ``path<<16|count`` slots -> int32[ceil(K/2), N]
+    words holding TWO 16-bit ``path<<8|count`` slots (low half = even
+    slot). Requires paths < 256 and counts <= 255 — the compact form
+    for haplotype-scale graphs (HPRC pangenomes carry ~90-100 paths);
+    callers clip counts and route overflow to a residual/heavy class.
+    Kernels consume it via ``pack16=True`` (half the tier-phase DMA,
+    same select work per logical slot)."""
+    path = (ell >> 16) & 0xFFFF
+    cnt = ell & 0xFFFF
+    assert int(path.max(initial=0)) < 256, "pack16 needs path ids < 256"
+    assert int(cnt.max(initial=0)) < 256, "pack16 needs counts <= 255"
+    h = ((path.astype(np.int64) << 8) | cnt.astype(np.int64))
+    if h.shape[0] % 2:
+        h = np.concatenate([h, np.zeros((1, h.shape[1]), h.dtype)])
+    pair = (h[1::2] << 16) | h[0::2]
+    return (pair & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def unpair_ell16(paired):
+    """Inverse of :func:`pair_ell16` up to slot order: int32[Kw, N]
+    paired words -> int32[2*Kw, N] standard ``path<<16|count`` slots
+    (slot order is permuted — even halves first — which is irrelevant
+    to the slot-sum reductions; a padded zero half stays a zero slot).
+    Works on numpy or jax arrays (the XLA fallback unpairs in-trace)."""
+    xp = jnp if isinstance(paired, jax.Array) else np
+
+    def expand(h):
+        return (((h >> 8) & 0xFF) << COUNT_BITS) | (h & 0xFF)
+
+    lo = paired & 0xFFFF
+    hi = (paired >> 16) & 0xFFFF
+    return xp.concatenate([expand(lo), expand(hi)], axis=0)
+
+
 def pack_mask_words(mask: jax.Array, n_words: int) -> jax.Array:
     """Pack a 0/1 path mask into int32 bit words (path p -> bit p%32 of
     word p//32)."""
@@ -511,6 +546,7 @@ def _kernel_splitn(
     h_rotate=True,
     h_lo=None,
     gh=0,
+    pack16=False,
 ):
     """N tier phases + an optional heavy phase in one grid. ``refs``
     is (tier_in..., [heavy_in], tier_d/u pairs..., [heavy_d/u]).
@@ -535,12 +571,25 @@ def _kernel_splitn(
         uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
         for kk in range(kk_slots):
             v = a[kk * SUB : (kk + 1) * SUB]
-            pid = (v >> COUNT_BITS) & 0xFFFF
-            cnt = v & COUNT_MAX
-            w32 = _select_word(pid >> 5, words)
-            bit = (w32 >> (pid & 31)) & 1
-            depth = depth + bit * cnt
-            uniq = uniq + bit * (v != 0).astype(jnp.int32)
+            if pack16:
+                # Two 16-bit slots per word: (path<<8|count) halves
+                # (paths < 256, counts clipped at 255 with residual).
+                # Same select work per LOGICAL slot, half the DMA.
+                for shift in (0, 16):
+                    h = (v >> shift) & 0xFFFF
+                    pid = (h >> 8) & 0xFF
+                    cnt = h & 0xFF
+                    w32 = _select_word(pid >> 5, words)
+                    bit = (w32 >> (pid & 31)) & 1
+                    depth = depth + bit * cnt
+                    uniq = uniq + bit * (h != 0).astype(jnp.int32)
+            else:
+                pid = (v >> COUNT_BITS) & 0xFFFF
+                cnt = v & COUNT_MAX
+                w32 = _select_word(pid >> 5, words)
+                bit = (w32 >> (pid & 31)) & 1
+                depth = depth + bit * cnt
+                uniq = uniq + bit * (v != 0).astype(jnp.int32)
         d_ref[:] = depth
         u_ref[:] = uniq
 
@@ -596,7 +645,7 @@ def _kernel_splitn(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ks", "interpret", "joint")
+    jax.jit, static_argnames=("ks", "interpret", "joint", "pack16")
 )
 def masked_ell_splitn_depth(
     tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
@@ -605,6 +654,7 @@ def masked_ell_splitn_depth(
     ks: Tuple[int, ...],
     interpret: bool = False,
     joint: bool = False,
+    pack16: bool = False,
 ):
     """Fused (N tiers + heavy) split query — the general form of the
     three-phase kernel, one Pallas pass whatever the tier count.
@@ -625,12 +675,13 @@ def masked_ell_splitn_depth(
     else:
         m = jnp.zeros((8, LANES), jnp.bfloat16)
     return masked_ell_splitn_depth_raw(
-        tiers, heavy, words, m, ks=ks, interpret=interpret, joint=joint
+        tiers, heavy, words, m, ks=ks, interpret=interpret, joint=joint,
+        pack16=pack16,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ks", "interpret", "joint")
+    jax.jit, static_argnames=("ks", "interpret", "joint", "pack16")
 )
 def masked_ell_splitn_depth_raw(
     tiers,  # tuple of int32[G_i*K_i*SUB, TALL_W] tall slot arrays
@@ -640,6 +691,7 @@ def masked_ell_splitn_depth_raw(
     ks: Tuple[int, ...],
     interpret: bool = False,
     joint: bool = False,
+    pack16: bool = False,
 ):
     """The fused split query with the mask ALREADY packed: ``words``
     from :func:`pack_mask_words`, ``m`` the folded bf16 mask matrix.
@@ -767,6 +819,7 @@ def masked_ell_splitn_depth_raw(
                 h_rotate=h_rotate,
                 h_lo=0 if joint else None,
                 gh=gh,
+                pack16=pack16,
             ),
             grid=(grid_len,),
             in_specs=in_specs,
@@ -836,6 +889,7 @@ def _kernel_splitn_batch(
     has_heavy,
     h_lo=None,
     gh=0,
+    pack16=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -854,6 +908,13 @@ def _kernel_splitn_batch(
         nz = []
         for kk in range(kk_slots):
             v = a[kk * SUB : (kk + 1) * SUB]
+            if pack16:
+                for shift in (0, 16):
+                    h = (v >> shift) & 0xFFFF
+                    pids.append((h >> 8) & 0xFF)
+                    cnts.append(h & 0xFF)
+                    nz.append((h != 0).astype(jnp.int32))
+                continue
             pids.append((v >> COUNT_BITS) & 0xFFFF)
             cnts.append(v & COUNT_MAX)
             nz.append((v != 0).astype(jnp.int32))
@@ -861,7 +922,7 @@ def _kernel_splitn_batch(
             words = [mask_ref[qq, j] for j in range(n_words)]
             depth = jnp.zeros((SUB, TALL_W), jnp.int32)
             uniq = jnp.zeros((SUB, TALL_W), jnp.int32)
-            for kk in range(kk_slots):
+            for kk in range(len(pids)):
                 w32 = _select_word(pids[kk] >> 5, words)
                 bit = (w32 >> (pids[kk] & 31)) & 1
                 depth = depth + bit * cnts[kk]
@@ -931,7 +992,9 @@ def pack_mask_words_batch(masks: jax.Array) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret", "joint"))
+@functools.partial(
+    jax.jit, static_argnames=("ks", "interpret", "joint", "pack16")
+)
 def masked_ell_splitn_depth_batch(
     tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
     heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
@@ -939,6 +1002,7 @@ def masked_ell_splitn_depth_batch(
     ks,
     interpret: bool = False,
     joint: bool = False,
+    pack16: bool = False,
 ):
     """Fused batched split query, any tier count: Q masks in one Pallas
     pass. Returns ``(d_t, u_t)`` per tier of shape (Q, tier_cols),
@@ -946,11 +1010,13 @@ def masked_ell_splitn_depth_batch(
     heavy class is absent)."""
     return masked_ell_splitn_depth_batch_raw(
         tiers, heavy, pack_mask_words_batch(masks), masks,
-        ks=ks, interpret=interpret, joint=joint,
+        ks=ks, interpret=interpret, joint=joint, pack16=pack16,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret", "joint"))
+@functools.partial(
+    jax.jit, static_argnames=("ks", "interpret", "joint", "pack16")
+)
 def masked_ell_splitn_depth_batch_raw(
     tiers,
     heavy: jax.Array,
@@ -959,6 +1025,7 @@ def masked_ell_splitn_depth_batch_raw(
     ks,
     interpret: bool = False,
     joint: bool = False,
+    pack16: bool = False,
 ):
     """The batched split query with the bit words ALREADY packed —
     lets the split (per-tier) emission pack once and share across its
@@ -1068,6 +1135,7 @@ def masked_ell_splitn_depth_batch_raw(
                 has_heavy=has_heavy,
                 h_lo=0 if joint else None,
                 gh=gh,
+                pack16=pack16,
             ),
             grid=(grid_len,),
             in_specs=in_specs,
@@ -1092,13 +1160,16 @@ def masked_ell_splitn_depth_batch_raw(
     return tuple(result)
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ks", "interpret", "pack16")
+)
 def masked_ell_splitn_depth_batch_split(
     tiers,  # tuple of int32[G_t*K_t*SUB, TALL_W] tall slot arrays
     heavy: jax.Array,  # uint8[P_pad/2, NH_pad] or (0, 0)
     masks: jax.Array,  # int32/bool[Q, >=P] (0/1)
     ks,
     interpret: bool = False,
+    pack16: bool = False,
 ):
     """The batched split query emitted as PER-TIER ``pallas_call``s
     plus one batched heavy pass, instead of one fused program.
@@ -1121,7 +1192,7 @@ def masked_ell_splitn_depth_batch_split(
     for t, k in zip(tiers, ks):
         d, u, _, _ = masked_ell_splitn_depth_batch_raw(
             (t,), empty_heavy, words, masks, ks=(k,),
-            interpret=interpret,
+            interpret=interpret, pack16=pack16,
         )
         result += [d, u]
     if heavy.size > 0:

@@ -259,6 +259,7 @@ def seg_depth_with_uniq_ell_parts(
         masked_ell_depth_xla,
         masked_ell_splitn_depth,
         unfold_ell_tall,
+        unpair_ell16,
     )
 
     _check_ell_sub(dg)
@@ -273,10 +274,24 @@ def seg_depth_with_uniq_ell_parts(
 
     fusable = has_heavy and dg.ell_heavy.shape[1] % SEG_BLOCK == 0
 
+    pack16 = bool(dg.ell_pack16)
+
     def tier_x(tall, k):
         if pallas:
+            if pack16:
+                # The standalone tall kernel has no pack16 body; the
+                # splitn form with an absent heavy class is the same
+                # single-phase program.
+                d, u = masked_ell_splitn_depth(
+                    (tall,), jnp.zeros((0, 0), jnp.uint8), m,
+                    ks=(k,), pack16=True,
+                )[:2]
+                return d, u
             return masked_ell_depth_tall(tall, m, k=k)
-        return masked_ell_depth_xla(unfold_ell_tall(tall, k), m)
+        flat = unfold_ell_tall(tall, k)
+        if pack16:
+            flat = unpair_ell16(flat)
+        return masked_ell_depth_xla(flat, m)
 
     def cat_mid(d2, u2, d3, u3):
         # Fold tier-3 into the mid pair: exact-length concat in
@@ -303,7 +318,7 @@ def seg_depth_with_uniq_ell_parts(
             ks.append(dg.ell_k3)
         outs = masked_ell_splitn_depth(
             tuple(tiers), dg.ell_heavy, m, ks=tuple(ks),
-            joint=ELL_JOINT,
+            joint=ELL_JOINT, pack16=pack16,
         )
         d1, u1 = outs[0], outs[1]
         i = 2
@@ -478,6 +493,11 @@ def _masked_impl_costs(dg: DeviceGraph) -> dict:
             (dg.cross_ell3, dg.ell_k3),
         ):
             if tall.size and k:
+                # pack16 storage halves tall.size (two slots/word), so
+                # this charge tracks the halved DMA; the unchanged
+                # select work per LOGICAL slot makes it a mild
+                # underestimate (measured pack16 gain: ~28% of the
+                # tier phase, not 50%).
                 cost_ell += (
                     C_TIER_FIXED + a * tall.size + C_COL_B * tall.size / k
                 )
@@ -520,6 +540,7 @@ def seg_depth_with_uniq_ell_batch_parts(
         masked_ell_depth_xla,
         masked_ell_splitn_depth_batch,
         unfold_ell_tall,
+        unpair_ell16,
     )
 
     _check_ell_sub(dg)
@@ -555,14 +576,16 @@ def seg_depth_with_uniq_ell_batch_parts(
         # crashes the compile helper (r4); the launch overhead the
         # split adds amortizes over the batch. One- and two-tier
         # batches keep the proven fused form.
+        pack16_b = bool(dg.ell_pack16)
         if len(tiers) <= 2:
             outs = masked_ell_splitn_depth_batch(
                 tuple(tiers), dg.ell_heavy, m, ks=tuple(ks),
-                joint=ELL_BATCH_JOINT,
+                joint=ELL_BATCH_JOINT, pack16=pack16_b,
             )
         else:
             outs = masked_ell_splitn_depth_batch_split(
-                tuple(tiers), dg.ell_heavy, m, ks=tuple(ks)
+                tuple(tiers), dg.ell_heavy, m, ks=tuple(ks),
+                pack16=pack16_b,
             )
         d1, u1 = outs[0], outs[1]
         i = 2
@@ -579,18 +602,22 @@ def seg_depth_with_uniq_ell_batch_parts(
                 d2, u2 = d3, u3
         dh, uh = outs[i], outs[i + 1]
     else:
-        flat = unfold_ell_tall(dg.cross_ell, dg.ell_k)
+        def unfold(tall, k):
+            flat = unfold_ell_tall(tall, k)
+            return unpair_ell16(flat) if dg.ell_pack16 else flat
+
+        flat = unfold(dg.cross_ell, dg.ell_k)
         d1, u1 = jax.vmap(masked_ell_depth_xla, in_axes=(None, 0))(
             flat, m
         )
         d2 = u2 = dh = uh = None
         if has_mid:
-            flat2 = unfold_ell_tall(dg.cross_ell2, dg.ell_k2)
+            flat2 = unfold(dg.cross_ell2, dg.ell_k2)
             d2, u2 = jax.vmap(
                 masked_ell_depth_xla, in_axes=(None, 0)
             )(flat2, m)
         if has_mid2:
-            flat3 = unfold_ell_tall(dg.cross_ell3, dg.ell_k3)
+            flat3 = unfold(dg.cross_ell3, dg.ell_k3)
             d3, u3 = jax.vmap(
                 masked_ell_depth_xla, in_axes=(None, 0)
             )(flat3, m)

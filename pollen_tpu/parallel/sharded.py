@@ -543,25 +543,32 @@ def shard_ell_inputs(dg: DeviceGraph, mesh: Mesh):
     returns None when the graph has no ELL index."""
     if dg.cross_ell.size == 0:
         return None
-    from ..kernels.ellscan import unfold_ell_tall
+    from ..kernels.ellscan import unfold_ell_tall, unpair_ell16
 
     n_dev = mesh.size
-    # The resident layout is tall (sublane-folded, kernels/ellscan.py);
-    # unfold to flat (K, N) slots so columns shard contiguously.
-    flat = unfold_ell_tall(np.asarray(dg.cross_ell), dg.ell_k)
+
+    def _flat(tall, k):
+        # The resident layout is tall (sublane-folded); unfold to flat
+        # (K, N) slots so columns shard contiguously — and un-pair
+        # pack16 storage back to standard slots, so the sharded XLA
+        # workers stay layout-agnostic.
+        f = unfold_ell_tall(np.asarray(tall), k)
+        return unpair_ell16(f) if dg.ell_pack16 else f
+
+    flat = _flat(dg.cross_ell, dg.ell_k)
     e, lw = _pad_cols(np.ascontiguousarray(flat), n_dev)
     col_shard = NamedSharding(mesh, P(None, STEP_AXES))
     repl = NamedSharding(mesh, P())
     ell2 = None
     mw = 0
     if dg.cross_ell2.size:
-        flat2 = unfold_ell_tall(np.asarray(dg.cross_ell2), dg.ell_k2)
+        flat2 = _flat(dg.cross_ell2, dg.ell_k2)
         e2, mw = _pad_cols(np.ascontiguousarray(flat2), n_dev)
         ell2 = jax.device_put(jnp.asarray(e2), col_shard)
     ell3 = None
     m2w = 0
     if dg.cross_ell3.size:
-        flat3 = unfold_ell_tall(np.asarray(dg.cross_ell3), dg.ell_k3)
+        flat3 = _flat(dg.cross_ell3, dg.ell_k3)
         e3, m2w = _pad_cols(np.ascontiguousarray(flat3), n_dev)
         ell3 = jax.device_put(jnp.asarray(e3), col_shard)
     heavy = None

@@ -303,6 +303,99 @@ def main():
             flush=True,
         )
 
+    elif stage in ("ellp16", "ellp16ok"):
+        # 16-bit paired tier slots (pack16): two path<<8|count halves
+        # per int32 word — half the tier-phase DMA, same select work.
+        # Counts clip at 255 for the probe (report how many); the
+        # heavy phase is unchanged. ellp16 times the raw kernel like
+        # ellraw; ellp16ok checks exactness vs the XLA slot reduction
+        # on the same clipped slots.
+        from pollen_tpu.kernels.crossmat import fold_mask
+        from pollen_tpu.kernels.ellscan import (
+            masked_ell_depth_xla,
+            masked_ell_splitn_depth_raw,
+            pack_mask_words,
+            pack_ell_tall,
+            pair_ell16,
+            unfold_ell_tall,
+        )
+
+        flat = unfold_ell_tall(np.asarray(dg.cross_ell), dg.ell_k)
+        path = (flat >> 16) & 0xFFFF
+        cnt = flat & 0xFFFF
+        clipped = int((cnt > 255).sum())
+        ell_c = ((path << 16) | np.minimum(cnt, 255)).astype(np.int32)
+        tall16 = jnp.asarray(pack_ell_tall(pair_ell16(ell_c)))
+        k16 = (dg.ell_k + 1) // 2
+        n_words = -(-dg.num_paths // 32)
+        p_pad = dg.ell_heavy.shape[0] * 2
+        mask = jnp.ones(dg.num_paths, jnp.int32)
+        words = pack_mask_words(mask, n_words)
+        mp = jnp.zeros(p_pad, jnp.int32).at[: dg.num_paths].set(mask)
+        m = jnp.zeros((8, p_pad), jnp.bfloat16).at[0].set(
+            fold_mask(mp).astype(jnp.bfloat16)
+        )
+
+        if stage == "ellp16ok":
+            @jax.jit
+            def diff(words, m, tall16, ell_c, heavy, mask):
+                d, u, dh, uh = masked_ell_splitn_depth_raw(
+                    (tall16,), heavy, words, m, ks=(k16,), pack16=True
+                )
+                d_x, u_x = masked_ell_depth_xla(ell_c, mask)
+                n = d_x.shape[0]
+                return (
+                    jnp.abs(d[:n].astype(jnp.int64) - d_x).sum()
+                    + jnp.abs(u[:n].astype(jnp.int64) - u_x).sum()
+                )
+
+            t0 = time.perf_counter()
+            total = int(np.asarray(jax.device_get(diff(
+                words, m, tall16, jnp.asarray(ell_c), dg.ell_heavy, mask
+            ))))
+            print(
+                f"ellp16ok: diff={total} ({clipped} slots clipped) "
+                f"(total {time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        else:
+            @jax.jit
+            def chained(words, m, k, tall16, heavy):
+                def body(i, carry):
+                    words, acc = carry
+                    d, u, dh, uh = masked_ell_splitn_depth_raw(
+                        (tall16,), heavy, words, m,
+                        ks=(k16,), pack16=True,
+                    )
+                    acc = acc + d[-1] + u[-1] + dh[-1] + uh[-1]
+                    words = words.at[0].set(words[0] ^ (d[0] % 7))
+                    return words, acc
+
+                _, acc = jax.lax.fori_loop(
+                    0, k, body, (words, jnp.int32(0))
+                )
+                return acc
+
+            t0 = time.perf_counter()
+            k = 6
+            while True:
+                per_iter, raw = _time_chain_raw(
+                    chained,
+                    (words, m, jnp.int32(k), tall16, dg.ell_heavy),
+                    2,
+                    k,
+                )
+                if raw >= 0.29 or k >= 65536:
+                    break
+                k *= 8
+            print(
+                f"ellp16: {per_iter * 1e6:.1f} us/query "
+                f"({n_steps / per_iter / 1e9:.1f} G steps/s, "
+                f"{clipped} slots clipped) "
+                f"(total {time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+
     elif stage in ("ellbok", "ellb3ok"):
         # Batched on-device exactness: parts vs Q single XLA queries.
         from pollen_tpu.ops.depth import (

@@ -206,19 +206,28 @@ def test_ell_matches_xla(graph_path):
         np.testing.assert_array_equal(u_nat, np.asarray(u_x))
 
         # Pallas interpret kernel (tall resident layout) == XLA
-        # fallback on the unfolded flat slots.
+        # fallback on the unfolded flat slots — layout-aware: pack16
+        # storage un-pairs for XLA and runs the pack16 kernel body.
         from pollen_tpu.kernels.ellscan import (
             masked_ell_depth_tall,
+            masked_ell_splitn_depth,
             unfold_ell_tall,
+            unpair_ell16,
         )
 
         m32 = jnp.asarray(mask.astype(np.int32))
-        d_k, u_k = masked_ell_depth_tall(
-            dg.cross_ell, m32, k=dg.ell_k, interpret=True
-        )
-        d_k2, u_k2 = masked_ell_depth_xla(
-            unfold_ell_tall(dg.cross_ell, dg.ell_k), m32
-        )
+        flat = unfold_ell_tall(dg.cross_ell, dg.ell_k)
+        if dg.ell_pack16:
+            flat = unpair_ell16(flat)
+            d_k, u_k = masked_ell_splitn_depth(
+                (dg.cross_ell,), jnp.zeros((0, 0), jnp.uint8), m32,
+                ks=(dg.ell_k,), interpret=True, pack16=True,
+            )[:2]
+        else:
+            d_k, u_k = masked_ell_depth_tall(
+                dg.cross_ell, m32, k=dg.ell_k, interpret=True
+            )
+        d_k2, u_k2 = masked_ell_depth_xla(flat, m32)
         np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_k2))
         np.testing.assert_array_equal(np.asarray(u_k), np.asarray(u_k2))
     # Mask-word packing round trip.
@@ -926,6 +935,59 @@ def test_ell_batch_kernel_matches_reference(q):
         np.testing.assert_array_equal(
             np.asarray(u)[:, :cols], mref @ (cls > 0)
         )
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_ell_pack16_matches_unpacked(k):
+    """The 16-bit paired slot layout (two path<<8|count halves per
+    int32 word; pack16=True) answers identically to the standard
+    32-bit layout, for odd and even K (odd K pads a zero half)."""
+    from pollen_tpu.kernels.crossmat import masked_cross_depth_xla
+    from pollen_tpu.kernels.ellscan import (
+        SUB,
+        TALL_W,
+        masked_ell_depth_xla,
+        masked_ell_splitn_depth,
+        pack_ell,
+        pack_ell_tall,
+        pair_ell16,
+    )
+
+    rng = np.random.default_rng(31)
+    nl, p = SUB * TALL_W, 100  # paths < 256, counts <= 255
+    run_col = np.sort(rng.integers(0, nl, 2 * nl))
+    slot = np.arange(run_col.size) - np.searchsorted(run_col, run_col)
+    keep = slot < k
+    run_col, slot = run_col[keep], slot[keep]
+    run_path = rng.integers(0, p, run_col.size).astype(np.int32)
+    run_count = rng.integers(1, 256, run_col.size).astype(np.int32)
+    ell = pack_ell(run_path, run_count, run_col, slot, k, nl)
+    tall16 = pack_ell_tall(pair_ell16(ell))
+    k16 = (k + 1) // 2
+
+    p_pad = 128
+    heavy = rng.integers(0, 256, (p_pad // 2, 8192)).astype(np.uint8)
+    mask = rng.integers(0, 2, p).astype(np.int32)
+    for joint in (False, True):
+        d, u, dh, uh = masked_ell_splitn_depth(
+            (jnp.asarray(tall16),),
+            jnp.asarray(heavy),
+            jnp.asarray(mask),
+            ks=(k16,),
+            interpret=True,
+            joint=joint,
+            pack16=True,
+        )
+        d_x, u_x = masked_ell_depth_xla(jnp.asarray(ell), jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d_x))
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(u_x))
+        mp = np.zeros(p_pad, np.int32)
+        mp[:p] = mask
+        d_hx, u_hx = masked_cross_depth_xla(
+            jnp.asarray(heavy), jnp.asarray(mp), nibble=True
+        )
+        np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
+        np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
 
 
 @pytest.mark.parametrize("q", [4, 16])
