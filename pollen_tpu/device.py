@@ -492,9 +492,12 @@ def build_device_graph(
         def tall_pad(c: int) -> int:
             return -(-max(c, 1) // tile) * tile if c else 0
 
+        # pack16 stores ceil(k/2) int32 words per column — charge the
+        # ACTUAL resident footprint or budget-constrained graphs lose
+        # the index pack16 exists to shrink.
         ell_bytes = (
             sum(
-                4 * k * tall_pad(c)
+                4 * ((k + 1) // 2 if use_pack16 else k) * tall_pad(c)
                 for k, c in zip(ks, tier_counts)
             )
             + (p_pad_m // 2) * nh_pad

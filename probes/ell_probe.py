@@ -321,12 +321,20 @@ def main():
         )
 
         flat = unfold_ell_tall(np.asarray(dg.cross_ell), dg.ell_k)
+        if dg.ell_pack16:
+            # The resident is ALREADY paired under the default ingest;
+            # un-pair back to standard slots before re-packing, or the
+            # odd halves masquerade as path ids.
+            from pollen_tpu.kernels.ellscan import unpair_ell16
+
+            flat = np.asarray(unpair_ell16(flat))
         path = (flat >> 16) & 0xFFFF
         cnt = flat & 0xFFFF
         clipped = int((cnt > 255).sum())
         ell_c = ((path << 16) | np.minimum(cnt, 255)).astype(np.int32)
-        tall16 = jnp.asarray(pack_ell_tall(pair_ell16(ell_c)))
-        k16 = (dg.ell_k + 1) // 2
+        paired = pair_ell16(ell_c)
+        tall16 = jnp.asarray(pack_ell_tall(paired))
+        k16 = paired.shape[0]  # stored words/column, layout-agnostic
         n_words = -(-dg.num_paths // 32)
         p_pad = dg.ell_heavy.shape[0] * 2
         mask = jnp.ones(dg.num_paths, jnp.int32)

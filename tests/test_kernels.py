@@ -968,6 +968,12 @@ def test_ell_pack16_matches_unpacked(k):
     p_pad = 128
     heavy = rng.integers(0, 256, (p_pad // 2, 8192)).astype(np.uint8)
     mask = rng.integers(0, 2, p).astype(np.int32)
+    d_x, u_x = masked_ell_depth_xla(jnp.asarray(ell), jnp.asarray(mask))
+    mp = np.zeros(p_pad, np.int32)
+    mp[:p] = mask
+    d_hx, u_hx = masked_cross_depth_xla(
+        jnp.asarray(heavy), jnp.asarray(mp), nibble=True
+    )
     for joint in (False, True):
         d, u, dh, uh = masked_ell_splitn_depth(
             (jnp.asarray(tall16),),
@@ -978,16 +984,34 @@ def test_ell_pack16_matches_unpacked(k):
             joint=joint,
             pack16=True,
         )
-        d_x, u_x = masked_ell_depth_xla(jnp.asarray(ell), jnp.asarray(mask))
         np.testing.assert_array_equal(np.asarray(d), np.asarray(d_x))
         np.testing.assert_array_equal(np.asarray(u), np.asarray(u_x))
-        mp = np.zeros(p_pad, np.int32)
-        mp[:p] = mask
-        d_hx, u_hx = masked_cross_depth_xla(
-            jnp.asarray(heavy), jnp.asarray(mp), nibble=True
-        )
         np.testing.assert_array_equal(np.asarray(dh), np.asarray(d_hx))
         np.testing.assert_array_equal(np.asarray(uh), np.asarray(u_hx))
+
+    # The BATCHED kernel's pack16 branch too: row 0 of the batch must
+    # equal the single-query answers, all rows the dense reference.
+    from pollen_tpu.kernels.ellscan import masked_ell_splitn_depth_batch
+
+    qb = 5
+    masks = rng.integers(0, 2, (qb, p)).astype(np.int32)
+    masks[0] = mask
+    db, ub, dhb, uhb = masked_ell_splitn_depth_batch(
+        (jnp.asarray(tall16),),
+        jnp.asarray(heavy),
+        jnp.asarray(masks),
+        ks=(k16,),
+        interpret=True,
+        pack16=True,
+    )
+    np.testing.assert_array_equal(np.asarray(db)[0], np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(ub)[0], np.asarray(u_x))
+    for i in range(qb):
+        di, ui = masked_ell_depth_xla(
+            jnp.asarray(ell), jnp.asarray(masks[i])
+        )
+        np.testing.assert_array_equal(np.asarray(db)[i], np.asarray(di))
+        np.testing.assert_array_equal(np.asarray(ub)[i], np.asarray(ui))
 
 
 @pytest.mark.parametrize("q", [4, 16])
