@@ -106,11 +106,22 @@ def main():
         # The bare light kernel over the resident (tall) layout:
         # fully-populated (8, 4096) output blocks instead of the flat
         # layout's (1, width) narrow stores (measured 25.6 -> 9.7 us).
-        from pollen_tpu.kernels.ellscan import masked_ell_depth_tall
+        # pack16 residents route through the splitn form (the tall
+        # kernel has no pack16 body — a raw read would misinterpret
+        # the paired slots).
+        from pollen_tpu.kernels.ellscan import (
+            masked_ell_depth_tall,
+            masked_ell_splitn_depth,
+        )
 
         k = dg.ell_k
 
         def q(mask, tall):
+            if dg.ell_pack16:
+                return masked_ell_splitn_depth(
+                    (tall,), jnp.zeros((0, 0), jnp.uint8), mask,
+                    ks=(k,), pack16=True,
+                )[:2]
             return masked_ell_depth_tall(tall, mask, k=k)
 
         mask = jnp.ones(dg.num_paths, jnp.int32)
@@ -259,7 +270,8 @@ def main():
             def body(i, carry):
                 words, acc = carry
                 outs = masked_ell_splitn_depth_raw(
-                    tt, heavy, words, m, ks=tuple(ks)
+                    tt, heavy, words, m, ks=tuple(ks),
+                    pack16=bool(dg.ell_pack16),
                 )
                 d1, u1 = outs[0], outs[1]
                 dh, uh = outs[-2], outs[-1]
