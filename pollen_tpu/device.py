@@ -160,7 +160,10 @@ class DeviceGraph:
 
     # ELL-packed run index, tiered split layout (kernels/ellscan.py):
     # tier-1 segments (runs fit K1 slots, counts fit 16 bits) pack K1
-    # slots per column, each ``path << 16 | count``; tier-2 segments
+    # slots per column, each ``path << 16 | count`` — or, when
+    # ``ell_pack16`` is set (<= 256 paths, single-objective plans),
+    # two 16-bit ``path << 8 | count`` halves per int32 word with
+    # ``ell_k*`` recording STORED word counts; tier-2 segments
     # K2 > K1 slots; the heaviest move whole to a nibble-packed
     # sub-crossing-matrix over just their columns (counts clipped at 15
     # with an int32 clip residual — the crossmat sidecar scheme
