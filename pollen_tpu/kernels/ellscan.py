@@ -16,7 +16,8 @@ P/32 int32 words held in SMEM; each slot extracts its path's bit with
 a constant-depth select chain plus one variable shift. Everything is
 int32 VPU work on K*N values; with crossings averaging ~2 runs per
 segment this touches ~K/P of the dense crossing matrix's cells
-(kernels/crossmat.py) and ~4 bytes per run of HBM.
+(kernels/crossmat.py) and ~4 bytes per run of HBM — ~2 with the
+pack16 paired-slot form (pair_ell16) used for <= 256-path graphs.
 
 Segments with more than K runs (or any count >= 2**16) are routed
 whole to the dense residual sidecar (device.py), which restores both
