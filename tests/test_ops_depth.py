@@ -412,3 +412,43 @@ def test_ell_batch_chunking():
         d1, u1 = d.seg_depth_with_uniq_masked(dg, masks[i])
         np.testing.assert_array_equal(db[i], np.asarray(d1))
         np.testing.assert_array_equal(ub[i], np.asarray(u1))
+
+
+def test_pack16_ab_equivalence(monkeypatch):
+    """The same graph ingested with pack16 on and off answers every
+    masked/batched/all-paths depth query identically (the layouts may
+    route segments differently — counts > 255 go heavy under pack16 —
+    but the answers must not move)."""
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+
+    g, dg16 = bench_mod.synth_device_graph(2**14, 2**10, 48, device="host")
+    assert dg16.ell_pack16 == 1
+    monkeypatch.setenv("POLLEN_ELL_PACK16", "0")
+    from pollen_tpu.device import build_device_graph
+
+    dg32 = build_device_graph(g, minimal=True, device="host")
+    assert dg32.ell_pack16 == 0
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        mask = rng.integers(0, 2, dg16.num_paths).astype(np.int32)
+        d_ref, u_ref = depth_op.seg_depth_with_uniq_masked(
+            dg32, jnp.asarray(mask.astype(bool))
+        )
+        for dg in (dg16, dg32):
+            d, u = depth_op.seg_depth_with_uniq_ell(
+                dg, jnp.asarray(mask), pallas=False
+            )
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(u_ref))
+    masks = rng.integers(0, 2, (5, dg16.num_paths)).astype(np.int32)
+    d16, u16 = depth_op.seg_depth_with_uniq_ell_batch(
+        dg16, jnp.asarray(masks), pallas=False
+    )
+    d32, u32 = depth_op.seg_depth_with_uniq_ell_batch(
+        dg32, jnp.asarray(masks), pallas=False
+    )
+    np.testing.assert_array_equal(d16, d32)
+    np.testing.assert_array_equal(u16, u32)
